@@ -39,7 +39,7 @@ from cice4_tpu.grid import Grid
     jax.tree_util.register_dataclass,
     data_fields=[
         "aicen", "vicen", "vsnon", "eicen", "esnon", "tsfcn", "trcrn",
-        "uvel", "vvel", "stressp", "stressm", "stress12",
+        "uvel", "vvel", "stressp", "stressm", "stress12", "iceumask",
         "sst", "frzmlt", "scale_factor", "strocnxT", "strocnyT",
     ],
     meta_fields=[],
@@ -62,6 +62,7 @@ class State:
     stressp: jax.Array   # sigma11+sigma22 at 4 corners (ne,nw,sw,se)
     stressm: jax.Array   # sigma11-sigma22
     stress12: jax.Array  # sigma12
+    iceumask: jax.Array  # bool: ice present at U point last dynamics step
     # slab ocean mixed layer + coupling memory (ice_flux.F90)
     sst: jax.Array       # sea surface temperature (C)
     frzmlt: jax.Array    # freezing/melting potential (W/m^2)
@@ -174,6 +175,7 @@ def zeros_state(cfg: Config, grid: Grid, dtype=jnp.float32) -> State:
         stressp=jnp.zeros((4, ny, nx), dtype),
         stressm=jnp.zeros((4, ny, nx), dtype),
         stress12=jnp.zeros((4, ny, nx), dtype),
+        iceumask=jnp.zeros((ny, nx), bool),
         sst=z2, frzmlt=z2, scale_factor=z2,
         strocnxT=z2, strocnyT=z2,
     )

@@ -1,0 +1,133 @@
+"""Vertical thermodynamics tests: convergence + the reference's own
+energy-conservation identity (``conservation_check_vthermo``:
+efinal - einit = (fsurf - flat + fswint - fhocn - fsnow*Lfresh) * dt).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cice4_tpu import constants as cn
+from cice4_tpu.config import gx3_config
+from cice4_tpu.ops import therm_vertical as tv
+from cice4_tpu.state import make_itd_params
+
+
+@pytest.fixture(scope="module")
+def tp():
+    cfg = gx3_config()
+    itd = make_itd_params(cfg)
+    return tv.make_thermo_params(cfg, itd), itd
+
+
+def _column_inputs(tp_itd, ny=8, nx=8, Tair=250.0, hice=2.0, hsno=0.2,
+                   aice=0.9, fsw=0.0, Tsf0=-20.0):
+    p, itd = tp_itd
+    sh = (ny, nx)
+    f = lambda v: jnp.full(sh, v, jnp.float64)
+    aicen = f(aice)
+    vicen = aicen * hice
+    vsnon = aicen * hsno
+    tsfcn = f(Tsf0)
+    # enthalpy from a linear temperature profile Tsf0 .. Tf
+    Tf = -cn.depressT * 34.0
+    k = jnp.arange(1, p.nilyr + 1, dtype=jnp.float64)[:, None, None]
+    Ti = Tsf0 + (Tf - Tsf0) * (k - 0.5) / p.nilyr
+    tmlt = jnp.asarray(p.tmlt)[:p.nilyr, None, None]
+    qin = tv.qin_of_tin(p, Ti, tmlt)
+    eicen = qin * vicen[None] / p.nilyr
+    Tsn0 = jnp.minimum(Tsf0, 0.0)
+    esnon = jnp.broadcast_to(tv.qsn_of_tsn(f(Tsn0)) * vsnon / p.nslyr,
+                             (p.nslyr, ny, nx))
+    forcing = dict(
+        flw=f(180.0), potT=f(Tair), Qa=f(0.0005), rhoa=f(1.3),
+        fsnow=f(0.0), fbot=f(0.0), Tbot=f(Tf), Tf=f(Tf),
+        lhcoef=f(10.0), shcoef=f(15.0),
+        fswsfc=f(fsw * 0.7), fswint=f(fsw * 0.2), fswthrun=f(fsw * 0.1),
+        Sswabs=jnp.zeros((p.nslyr, ny, nx), jnp.float64),
+        Iswabs=jnp.broadcast_to(f(fsw * 0.2 / p.nilyr),
+                                (p.nilyr, ny, nx)),
+    )
+    return dict(aicen=aicen, vicen=vicen, vsnon=vsnon, tsfcn=tsfcn,
+                eicen=eicen, esnon=esnon), forcing
+
+
+def _run(p, stv, forcing, dt=3600.0):
+    fn = jax.jit(lambda s, fo: tv.thermo_vertical_category(
+        p, dt, s["aicen"], s["vicen"], s["vsnon"], s["tsfcn"],
+        s["eicen"], s["esnon"], fo["flw"], fo["potT"], fo["Qa"],
+        fo["rhoa"], fo["fsnow"], fo["fbot"], fo["Tbot"], fo["Tf"],
+        fo["lhcoef"], fo["shcoef"], fo["fswsfc"], fo["fswint"],
+        fo["fswthrun"], fo["Sswabs"], fo["Iswabs"]))
+    return fn(stv, forcing)
+
+
+def test_cold_growth(tp):
+    """Cold air over warm ocean: ice cools, conserves energy."""
+    p, itd = tp
+    stv, fo = _column_inputs(tp, Tair=245.0)
+    out, flux = _run(p, stv, fo)
+    assert int(flux["niter"]) < tv.nitermax
+    # surface cools below initial
+    assert float(jnp.mean(out["tsfcn"])) < -15.0
+    # energy conservation identity (per unit ice area)
+    dt = 3600.0
+    einp = (flux["fsurfn"] - flux["flatn"] + 0.2 * 0.0
+            - flux["fhocnn"]) * dt  # fswint = 0, fsnow = 0
+    err = np.asarray(jnp.abs(flux["efinal"] - flux["einit"] - einp)) / dt
+    assert err.max() < 1.1 * tv.ferrmax
+
+
+def test_melt_warm(tp):
+    """Warm air + strong sun: surface hits melting, top melt occurs."""
+    p, itd = tp
+    stv, fo = _column_inputs(tp, Tair=278.0, Tsf0=-1.0, fsw=300.0)
+    fo["flw"] = jnp.full_like(fo["flw"], 320.0)
+    out, flux = _run(p, stv, fo)
+    dt = 3600.0
+    einp = (flux["fsurfn"] - flux["flatn"] + fo["fswint"]
+            - flux["fhocnn"]) * dt
+    err = np.asarray(jnp.abs(flux["efinal"] - flux["einit"] - einp)) / dt
+    assert err.max() < 1.1 * tv.ferrmax
+    # some melt happened (top or snow)
+    total_melt = np.asarray(flux["meltt"] + flux["melts"]).mean()
+    assert total_melt > 0.0
+    # thickness decreased
+    assert float(jnp.mean(out["vicen"])) <= float(jnp.mean(stv["vicen"]))
+
+
+def test_bottom_growth_cold_ocean(tp):
+    """Strongly cold conductive flux with no ocean heat: congelation."""
+    p, itd = tp
+    stv, fo = _column_inputs(tp, Tair=240.0, hice=0.5, hsno=0.0)
+    out, flux = _run(p, stv, fo)
+    assert np.asarray(flux["congel"]).min() >= 0.0
+    assert np.asarray(flux["congel"]).mean() > 0.0
+    assert float(jnp.mean(out["vicen"])) > float(jnp.mean(stv["vicen"]))
+
+
+def test_no_ice_no_change(tp):
+    p, itd = tp
+    stv, fo = _column_inputs(tp, aice=0.0)
+    out, flux = _run(p, stv, fo)
+    for k in ["fsensn", "flatn", "fhocnn", "meltt", "congel"]:
+        assert np.allclose(np.asarray(flux[k]), 0.0)
+    assert np.allclose(np.asarray(out["vicen"]), np.asarray(stv["vicen"]))
+
+
+def test_snowfall_added(tp):
+    p, itd = tp
+    stv, fo = _column_inputs(tp, Tair=250.0)
+    fo["fsnow"] = jnp.full_like(fo["fsnow"], 1.0e-4)  # kg/m^2/s
+    out, flux = _run(p, stv, fo)
+    dt = 3600.0
+    dhs_expect = 1.0e-4 / cn.rhos * dt
+    hsn_before = 0.2
+    hsn_after = np.asarray(out["vsnon"] / jnp.maximum(out["aicen"], 1e-30))
+    assert hsn_after.mean() > hsn_before + 0.5 * dhs_expect
+    # conservation incl. snowfall enthalpy
+    einp = (flux["fsurfn"] - flux["flatn"] - flux["fhocnn"]
+            - fo["fsnow"] * cn.Lfresh) * dt
+    err = np.asarray(jnp.abs(flux["efinal"] - flux["einit"] - einp)) / dt
+    assert err.max() < 1.1 * tv.ferrmax
