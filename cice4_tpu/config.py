@@ -83,7 +83,7 @@ class TransportConfig:
     """Advection scheme (``ice_transport_driver.F90``)."""
 
     advection: str = "remap"      # remap | upwind | none
-    integral_order: int = 3       # quadrature order for remap triangles
+    integral_order: int = 2       # quadrature order for remap triangles
     l_dp_midpt: bool = False      # midpoint correction of departure points
     l_fixed_area: bool = False
     conservation_check: bool = False

@@ -1,0 +1,146 @@
+"""Model lifecycle driver: initialize / run / finalize.
+
+Equivalent of the standalone driver ``drivers/cice4/CICE.F90:64-94`` +
+``CICE_InitMod.F90 cice_init:124-199`` + ``CICE_RunMod.F90
+CICE_Run:94-146``: builds grid/state/forcing, owns the model clock,
+steps the jitted model, emits diagnostics on `diagfreq`, accumulates
+history means, and writes restart dumps on `dumpfreq`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time as _time
+
+import jax
+import jax.numpy as jnp
+
+from cice4_tpu.calendar import Calendar
+from cice4_tpu.config import Config
+from cice4_tpu.diagnostics import format_diags, runtime_diags
+from cice4_tpu.forcing import Forcing
+from cice4_tpu.grid import Grid, make_grid
+from cice4_tpu.io.forcing_data import make_forcing_provider
+from cice4_tpu.io.restart import dump_restart, load_restart, read_pointer
+from cice4_tpu.model import Model, ice_step
+from cice4_tpu.state import State, init_state
+from cice4_tpu.timers import Timers
+
+
+class IceModelRun:
+    """One configured model run (the `CICE_Initialize/Run/Finalize`
+    3-call lifecycle, ``drivers/cice4/CICE.F90:80-92``)."""
+
+    def __init__(self, cfg: Config, dtype=jnp.float32, log=print):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.log = log
+        self.timers = Timers()
+        self.grid: Grid | None = None
+        self.state: State | None = None
+        self.model: Model | None = None
+        self.calendar: Calendar | None = None
+        self._step = None
+        self._diag = None
+        self.history_sums = None
+        self.history_count = 0
+
+    # -- initialize ---------------------------------------------------------
+
+    def initialize(self, state: State | None = None):
+        cfg = self.cfg
+        with self.timers("Init"):
+            self.grid = make_grid(cfg, dtype=self.dtype)
+            self.model = Model.create(cfg)
+            self.calendar = Calendar(dt=cfg.run.dt,
+                                     year_init=cfg.run.year_init,
+                                     days_per_year=cfg.run.days_per_year)
+            self.forcing_provider = make_forcing_provider(cfg, self.grid,
+                                                          self.dtype)
+            if state is not None:
+                self.state = state
+            elif cfg.run.runtype == "continue":
+                path = read_pointer(cfg.run.pointer_file)
+                template = init_state(cfg, self.grid, self.model.itd,
+                                      dtype=self.dtype)
+                self.state, header = load_restart(path, template)
+                self.calendar.istep = header["istep"]
+                self.calendar.time = header["time"]
+                self.calendar._recompute()
+                self.log(f"restarted from {path} @ step {header['istep']}")
+            else:
+                self.state = init_state(cfg, self.grid, self.model.itd,
+                                        dtype=self.dtype)
+
+            model = self.model
+            grid = self.grid
+
+            @jax.jit
+            def _step(state, forcing, yday, sec):
+                return ice_step(model, state, grid, forcing, yday, sec)
+
+            self._step = _step
+            self._diag = jax.jit(lambda s: runtime_diags(s, grid))
+        return self
+
+    # -- run ----------------------------------------------------------------
+
+    def run(self, npt: int | None = None):
+        cfg = self.cfg
+        cal = self.calendar
+        npt = npt if npt is not None else cfg.run.npt
+        t_wall0 = _time.time()
+        for _ in range(npt):
+            with self.timers("Forcing"):
+                f = self.forcing_provider(cal.yday, cal.sec)
+            with self.timers("Step"):
+                self.state, fluxes = self._step(self.state, f,
+                                                jnp.asarray(cal.yday),
+                                                jnp.asarray(cal.sec))
+            cal.advance()
+            self._accumulate_history(fluxes)
+            if cfg.run.diagfreq and cal.istep % cfg.run.diagfreq == 0:
+                with self.timers("Diags"):
+                    d = self._diag(self.state)
+                    jax.block_until_ready(d)
+                    self.log(format_diags(cal.istep, d))
+            if cal.write_flag(cfg.run.dumpfreq, cfg.run.dumpfreq_n):
+                with self.timers("ReadWrite"):
+                    self.write_restart()
+        jax.block_until_ready(self.state.aicen)
+        wall = _time.time() - t_wall0
+        self.log(f"ran {npt} steps in {wall:.2f} s "
+                 f"({npt * self.grid.nx * self.grid.ny / max(wall, 1e-9):.3e}"
+                 " cell-steps/s)")
+        return self.state
+
+    def _accumulate_history(self, fluxes):
+        if not self.cfg.run.hist_avg:
+            return
+        keep = {k: v for k, v in fluxes.items()
+                if hasattr(v, "ndim") and v.ndim == 2}
+        if self.history_sums is None:
+            self.history_sums = keep
+            self.history_count = 1
+        else:
+            self.history_sums = jax.tree_util.tree_map(
+                jnp.add, self.history_sums,
+                {k: keep[k] for k in self.history_sums})
+            self.history_count += 1
+
+    # -- finalize -----------------------------------------------------------
+
+    def write_restart(self):
+        cfg = self.cfg
+        cal = self.calendar
+        path = os.path.join(cfg.run.restart_dir,
+                            f"iced.{cal.idate}.{int(cal.sec):05d}.npz")
+        dump_restart(self.state, path, cal.istep, cal.time,
+                     pointer_file=cfg.run.pointer_file)
+        self.log(f"wrote restart {path}")
+        return path
+
+    def finalize(self):
+        self.log(self.timers.report())
+        return self.timers

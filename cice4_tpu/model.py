@@ -194,13 +194,17 @@ def _step_dynamics(model: Model, state: State, grid: Grid, f: Forcing,
 
     if cfg.transport.advection == "remap":
         from cice4_tpu.ops.remap import transport_remap
-        state = transport_remap(state, grid, dt)
+        state, aice0_adv = transport_remap(state, grid, dt,
+                                           cfg.transport.integral_order)
     elif cfg.transport.advection == "upwind":
-        state = transport.transport_upwind(state, grid, dt)
+        state, aice0_adv = transport.transport_upwind(state, grid, dt)
+    else:
+        aice0_adv = None
 
     state, rdg = mechred.ridge_ice(state, itd, cfg.dynamics, dt,
                                    dyn_diag["rdg_conv"],
-                                   dyn_diag["rdg_shear"], grid.tmask)
+                                   dyn_diag["rdg_shear"], grid.tmask,
+                                   aice0=aice0_adv)
     fluxes["fresh"] = fluxes["fresh"] + rdg["fresh"]
     fluxes["fhocn"] = fluxes["fhocn"] + rdg["fhocn"]
     for k in ("dardg1dt", "dardg2dt", "dvirdgdt", "opening"):

@@ -177,15 +177,21 @@ def _ridge_shift(dyn: DynamicsConfig, itd: ItdParams, dt, carry,
 
 
 def ridge_ice(state: State, itd: ItdParams, dyn: DynamicsConfig, dt,
-              rdg_conv, rdg_shear, tmask):
+              rdg_conv, rdg_shear, tmask, aice0=None):
     """Ridging driver (``ridge_ice:133-552``).
+
+    aice0: advected open-water fraction from the transport step (its
+    deviation from 1 - sum(aicen) drives the divergence-implied
+    opening/closing, ``ridge_prep:715-725``).  Defaults to the
+    in-bounds complement when no transport ran.
 
     Returns (state, diag) where diag carries dardg1dt, dardg2dt,
     dvirdgdt, opening (1/s or m/s) and fresh/fhocn corrections from
     snow lost to the ocean during ridging.
     """
     zero = jnp.zeros_like(state.sst)
-    aice0 = jnp.maximum(1.0 - jnp.sum(state.aicen, 0), 0.0)
+    if aice0 is None:
+        aice0 = jnp.maximum(1.0 - jnp.sum(state.aicen, 0), 0.0)
 
     carry = dict(
         aicen=state.aicen, vicen=state.vicen, vsnon=state.vsnon,

@@ -46,8 +46,11 @@ def _upwind_tend(grid: Grid, phi, uee, vnn, dt):
     return phi - div
 
 
-def transport_upwind(state: State, grid: Grid, dt) -> State:
-    """First-order upwind advection of the full ice state."""
+def transport_upwind(state: State, grid: Grid, dt):
+    """First-order upwind advection of the full ice state.
+
+    Returns (state, aice0) — the advected open-water fraction feeds the
+    ridging opening/closing rates."""
     uee, vnn = edge_velocities(grid, state.uvel, state.vvel)
 
     aice0 = jnp.maximum(1.0 - jnp.sum(state.aicen, 0), 0.0)
@@ -60,7 +63,7 @@ def transport_upwind(state: State, grid: Grid, dt) -> State:
     vsnon = adv(state.vsnon)
     eicen = adv(state.eicen)
     esnon = adv(state.esnon)
-    _aice0 = adv(aice0)
+    aice0 = jnp.where(grid.tmask, jnp.maximum(adv(aice0), 0.0), 0.0)
 
     tsfc_a = adv(state.tsfcn * state.aicen)
     atrcrn = {}
@@ -78,6 +81,7 @@ def transport_upwind(state: State, grid: Grid, dt) -> State:
     vsnon = jnp.where(m[None], vsnon, 0.0)
     eicen = jnp.where(m[None, None], eicen, 0.0)
     esnon = jnp.where(m[None, None], esnon, 0.0)
-    return state.replace(aicen=aicen, vicen=vicen, vsnon=vsnon,
-                         eicen=eicen, esnon=esnon, tsfcn=tsfcn,
-                         trcrn=trcrn)
+    state = state.replace(aicen=aicen, vicen=vicen, vsnon=vsnon,
+                          eicen=eicen, esnon=esnon, tsfcn=tsfcn,
+                          trcrn=trcrn)
+    return state, aice0

@@ -1,0 +1,64 @@
+"""Device mesh construction and sharding specs for the model state.
+
+The TPU-native replacement for the reference's block decomposition +
+MPI rank layout (``ice_blocks.F90`` / ``ice_distribution.F90``): one 2D
+`jax.sharding.Mesh` over ('y', 'x'); every field is sharded over its
+trailing two (spatial) axes with category/layer axes replicated.  XLA's
+SPMD partitioner inserts all halo communication (collective-permutes
+for the `jnp.roll` stencils) and reductions — there is no hand-written
+message schedule (`ice_HaloCreate`) to maintain.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """Build a near-square (py, px) mesh from the available devices
+    (the analogue of `proc_decomposition`, ``ice_distribution.F90:
+    228-377``, with `processor_shape = 'square-ice'`)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    py = int(math.sqrt(n))
+    while n % py != 0:
+        py -= 1
+    px = n // py
+    dev_array = np.asarray(devices).reshape(py, px)
+    return Mesh(dev_array, ("y", "x"))
+
+
+def spatial_spec(ndim: int) -> P:
+    """PartitionSpec sharding the trailing (y, x) axes of an
+    `ndim`-rank array; leading category/layer axes replicated."""
+    if ndim < 2:
+        return P()
+    return P(*([None] * (ndim - 2) + ["y", "x"]))
+
+
+def shard_pytree(tree, mesh: Mesh):
+    """Place every array leaf of a pytree with its spatial sharding."""
+    def place(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2:
+            return jax.device_put(
+                leaf, NamedSharding(mesh, spatial_spec(leaf.ndim)))
+        return leaf
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def pytree_shardings(tree, mesh: Mesh):
+    """Matching NamedSharding pytree (for jit in_shardings)."""
+    def spec(leaf):
+        if hasattr(leaf, "ndim"):
+            return NamedSharding(mesh, spatial_spec(leaf.ndim))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, tree)

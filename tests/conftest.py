@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the model-step graphs take minutes to
+# compile on the CPU backend; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/cice4_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

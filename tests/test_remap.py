@@ -1,0 +1,143 @@
+"""Incremental remapping tests: conservation, monotonicity, accuracy
+vs upwind (mirrors the reference's built-in checks:
+``ice_transport_driver.F90 global_conservation:1147-1218``,
+``check_monotonicity:1416+``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cice4_tpu import constants as cn
+from cice4_tpu.config import gx3_config
+from cice4_tpu.grid import make_rect_grid
+from cice4_tpu.ops.remap import transport_remap
+from cice4_tpu.ops.transport import transport_upwind
+from cice4_tpu.parallel.halo import BoundaryConditions
+from cice4_tpu.state import make_itd_params, zeros_state
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = gx3_config()
+    bc = BoundaryConditions(ew="cyclic", ns="open")
+    grid = make_rect_grid(48, 24, bc, dx=20.0e3, dy=20.0e3,
+                          land_edges=False, dtype=jnp.float64)
+    itd = make_itd_params(cfg)
+    return cfg, grid, itd
+
+
+def blob_state(cfg, grid, itd, u=0.2, v=0.0):
+    """Gaussian blob of ice in category 2 moving east."""
+    ny, nx = grid.ny, grid.nx
+    s = zeros_state(cfg, grid, dtype=jnp.float64)
+    x = jnp.arange(nx)[None, :]
+    y = jnp.arange(ny)[:, None]
+    blob = 0.8 * jnp.exp(-(((x - 12.0) / 4.0) ** 2
+                           + ((y - 12.0) / 4.0) ** 2))
+    aicen = jnp.zeros((itd.ncat, ny, nx), jnp.float64).at[2].set(blob)
+    vicen = aicen * 2.0
+    vsnon = aicen * 0.2
+    qin = -2.0e8
+    eicen = jnp.broadcast_to(qin * vicen[:, None] / itd.nilyr,
+                             (itd.ncat, itd.nilyr, ny, nx))
+    esnon = jnp.broadcast_to(-1.0e8 * vsnon[:, None],
+                             (itd.ncat, itd.nslyr, ny, nx))
+    tsfcn = jnp.where(aicen > cn.puny, -10.0, cn.Tocnfrz)
+    trcrn = {"iage": jnp.where(aicen > cn.puny, 5.0e6, 0.0)}
+    uvel = jnp.full((ny, nx), u, jnp.float64)
+    vvel = jnp.full((ny, nx), v, jnp.float64)
+    # zero velocity at the open north/south boundaries
+    uvel = uvel.at[-1].set(0.0).at[0].set(0.0)
+    vvel = vvel.at[-1].set(0.0).at[0].set(0.0)
+    return s.replace(aicen=aicen, vicen=vicen, vsnon=vsnon, eicen=eicen,
+                     esnon=esnon, tsfcn=tsfcn, trcrn=trcrn,
+                     uvel=uvel, vvel=vvel)
+
+
+def integrals(grid, s):
+    ta = np.asarray(grid.tarea)
+    return {
+        "area": float((np.asarray(jnp.sum(s.aicen, 0)) * ta).sum()),
+        "vice": float((np.asarray(jnp.sum(s.vicen, 0)) * ta).sum()),
+        "vsno": float((np.asarray(jnp.sum(s.vsnon, 0)) * ta).sum()),
+        "eice": float((np.asarray(jnp.sum(s.eicen, (0, 1))) * ta).sum()),
+        "esno": float((np.asarray(jnp.sum(s.esnon, (0, 1))) * ta).sum()),
+        "viage": float((np.asarray(jnp.sum(
+            s.vicen * s.trcrn["iage"], 0)) * ta).sum()),
+    }
+
+
+def test_remap_conserves(setup):
+    cfg, grid, itd = setup
+    s = blob_state(cfg, grid, itd)
+    before = integrals(grid, s)
+    step = jax.jit(lambda st: transport_remap(st, grid, 3600.0))
+    for _ in range(10):
+        s, aice0 = step(s)
+    after = integrals(grid, s)
+    for k in before:
+        assert np.isclose(before[k], after[k], rtol=1e-10), \
+            (k, before[k], after[k])
+
+
+def test_remap_monotone_and_bounded(setup):
+    cfg, grid, itd = setup
+    s = blob_state(cfg, grid, itd)
+    a_max0 = float(jnp.max(s.aicen))
+    h_max0 = 2.0
+    step = jax.jit(lambda st: transport_remap(st, grid, 3600.0))
+    for _ in range(20):
+        s, aice0 = step(s)
+    a = np.asarray(s.aicen)
+    assert a.min() >= -1e-13
+    assert a.max() <= a_max0 + 1e-10   # no new extrema in uniform flow
+    has = a > cn.puny
+    hi = np.where(has, np.asarray(s.vicen) / np.maximum(a, 1e-30), 0.0)
+    assert hi.max() <= h_max0 * (1 + 1e-9)  # thickness stays monotone
+    iage = np.asarray(s.trcrn["iage"])
+    assert iage.max() <= 5.0e6 * (1 + 1e-9)
+    assert iage.min() >= -1e-6
+
+
+def test_remap_translates_blob(setup):
+    """After t = N*dt of uniform flow the blob's center of mass moves
+    u*t; remap should track this closely (2nd order)."""
+    cfg, grid, itd = setup
+    s = blob_state(cfg, grid, itd, u=0.2)
+    dt = 3600.0
+    nsteps = 20
+    step = jax.jit(lambda st: transport_remap(st, grid, dt))
+    for _ in range(nsteps):
+        s, _ = step(s)
+    a = np.asarray(s.aicen[2])
+    x = np.arange(grid.nx)[None, :]
+    com_x = (a * x).sum() / a.sum()
+    expect = 12.0 + 0.2 * dt * nsteps / 20.0e3
+    assert abs(com_x - expect) < 0.1  # within a tenth of a cell
+
+
+def test_remap_less_diffusive_than_upwind(setup):
+    cfg, grid, itd = setup
+    dt = 3600.0
+    s_r = blob_state(cfg, grid, itd, u=0.2)
+    s_u = blob_state(cfg, grid, itd, u=0.2)
+    step_r = jax.jit(lambda st: transport_remap(st, grid, dt))
+    step_u = jax.jit(lambda st: transport_upwind(st, grid, dt))
+    for _ in range(20):
+        s_r, _ = step_r(s_r)
+        s_u, _ = step_u(s_u)
+    # remap preserves the peak better
+    assert float(jnp.max(s_r.aicen)) > float(jnp.max(s_u.aicen)) + 0.02
+
+
+def test_remap_zero_velocity_identity(setup):
+    cfg, grid, itd = setup
+    s = blob_state(cfg, grid, itd, u=0.0, v=0.0)
+    out, aice0 = transport_remap(s, grid, 3600.0)
+    assert np.allclose(np.asarray(out.aicen), np.asarray(s.aicen),
+                       atol=1e-14)
+    assert np.allclose(np.asarray(out.vicen), np.asarray(s.vicen),
+                       atol=1e-14)
+    assert np.allclose(np.asarray(out.eicen), np.asarray(s.eicen),
+                       rtol=1e-12)
