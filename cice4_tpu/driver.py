@@ -22,6 +22,7 @@ from cice4_tpu.diagnostics import format_diags, runtime_diags
 from cice4_tpu.forcing import Forcing
 from cice4_tpu.grid import Grid, make_grid
 from cice4_tpu.io.forcing_data import make_forcing_provider
+from cice4_tpu.io.history import History
 from cice4_tpu.io.restart import dump_restart, load_restart, read_pointer
 from cice4_tpu.model import Model, ice_step
 from cice4_tpu.state import State, init_state
@@ -43,8 +44,7 @@ class IceModelRun:
         self.calendar: Calendar | None = None
         self._step = None
         self._diag = None
-        self.history_sums = None
-        self.history_count = 0
+        self.history = None
 
     # -- initialize ---------------------------------------------------------
 
@@ -82,6 +82,10 @@ class IceModelRun:
 
             self._step = _step
             self._diag = jax.jit(lambda s: runtime_diags(s, grid))
+            self.history = History(
+                grid, histfreq=cfg.run.histfreq,
+                histfreq_n=cfg.run.histfreq_n, avg=cfg.run.hist_avg,
+                directory=cfg.run.history_dir)
         return self
 
     # -- run ----------------------------------------------------------------
@@ -99,7 +103,10 @@ class IceModelRun:
                                                 jnp.asarray(cal.yday),
                                                 jnp.asarray(cal.sec))
             cal.advance()
-            self._accumulate_history(fluxes)
+            with self.timers("History"):
+                self.history.accumulate(self.state, fluxes)
+                for p in self.history.write_due(cal):
+                    self.log(f"wrote history {p}")
             if cfg.run.diagfreq and cal.istep % cfg.run.diagfreq == 0:
                 with self.timers("Diags"):
                     d = self._diag(self.state)
@@ -114,20 +121,6 @@ class IceModelRun:
                  f"({npt * self.grid.nx * self.grid.ny / max(wall, 1e-9):.3e}"
                  " cell-steps/s)")
         return self.state
-
-    def _accumulate_history(self, fluxes):
-        if not self.cfg.run.hist_avg:
-            return
-        keep = {k: v for k, v in fluxes.items()
-                if hasattr(v, "ndim") and v.ndim == 2}
-        if self.history_sums is None:
-            self.history_sums = keep
-            self.history_count = 1
-        else:
-            self.history_sums = jax.tree_util.tree_map(
-                jnp.add, self.history_sums,
-                {k: keep[k] for k in self.history_sums})
-            self.history_count += 1
 
     # -- finalize -----------------------------------------------------------
 

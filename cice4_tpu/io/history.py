@@ -1,0 +1,234 @@
+"""History output: field registry, time averaging, multi-stream netCDF.
+
+Equivalent of ``source/ice_history.F90`` — the `ice_hist_field`
+registry + `define_hist_field:3561-3659`, per-step accumulation
+(`accum_hist_field*:3663-3870`), up to `max_nstrm = 5` simultaneous
+streams at different frequencies, and CF-metadata netCDF output
+(`icecdf:2093-3231`, netCDF3-classic via scipy).
+
+Each registered field maps a name to an extractor over
+``(state, fluxes, agg)``; per-field frequency toggles mirror the
+`icefields_nml` namelist.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cice4_tpu import constants as cn
+from cice4_tpu.grid import Grid
+from cice4_tpu.ops.itd import aggregate
+from cice4_tpu.state import State
+
+max_nstrm = 5
+
+
+@dataclasses.dataclass
+class HistField:
+    name: str
+    units: str
+    long_name: str
+    extract: Callable          # (state, fluxes, agg) -> (ny, nx) array
+    cell_measure: str = "area: tarea"
+    frequency: str = "m"       # y/m/d/h/1/x per stream
+
+
+def _flux(name, scale=1.0):
+    return lambda s, fx, agg: fx[name] * scale if name in fx else None
+
+
+def default_fields() -> dict[str, HistField]:
+    """The standard 2D field set (cf. `init_hist:417-1367`)."""
+    F = HistField
+    mps_to_cmpdy = cn.mps_to_cmpdy
+    fields = [
+        F("aice", "1", "ice area (aggregate)",
+          lambda s, fx, agg: agg["aice"]),
+        F("hi", "m", "grid cell mean ice thickness",
+          lambda s, fx, agg: agg["vice"]),
+        F("hs", "m", "grid cell mean snow thickness",
+          lambda s, fx, agg: agg["vsno"]),
+        F("Tsfc", "C", "snow/ice surface temperature",
+          lambda s, fx, agg: agg["tsfc"]),
+        F("uvel", "m/s", "ice velocity (x)",
+          lambda s, fx, agg: s.uvel),
+        F("vvel", "m/s", "ice velocity (y)",
+          lambda s, fx, agg: s.vvel),
+        F("sst", "C", "sea surface temperature",
+          lambda s, fx, agg: s.sst),
+        F("frzmlt", "W/m^2", "freeze/melt potential",
+          lambda s, fx, agg: s.frzmlt),
+        F("sig1", "1", "norm. principal stress 1",
+          lambda s, fx, agg: None),  # filled by diag hook
+        F("strength", "N/m", "compressive ice strength", _flux("strength")),
+        F("divu", "%/day", "strain rate (divergence)",
+          _flux("divu", 100.0 * 86400.0)),
+        F("shear", "%/day", "strain rate (shear)",
+          _flux("shear", 100.0 * 86400.0)),
+        F("fswabs", "W/m^2", "snow/ice/ocn absorbed solar flux",
+          _flux("fswabs")),
+        F("fswthru", "W/m^2", "SW thru ice to ocean", _flux("fswthru")),
+        F("flwout", "W/m^2", "upward longwave flux", _flux("flwout")),
+        F("fsens", "W/m^2", "sensible heat flux", _flux("fsens")),
+        F("flat", "W/m^2", "latent heat flux", _flux("flat")),
+        F("evap", "cm/day", "evaporative water flux",
+          _flux("evap", mps_to_cmpdy / cn.rhofresh)),
+        F("Tref", "K", "2m reference temperature", _flux("Tref")),
+        F("Qref", "kg/kg", "2m reference humidity", _flux("Qref")),
+        F("congel", "cm/day", "congelation ice growth",
+          _flux("congel", mps_to_cmpdy / 3600.0)),
+        F("frazil", "cm/day", "frazil ice growth",
+          _flux("frazil", mps_to_cmpdy / 3600.0)),
+        F("snoice", "cm/day", "snow-ice formation",
+          _flux("snoice", mps_to_cmpdy / 3600.0)),
+        F("meltt", "cm/day", "top ice melt",
+          _flux("meltt", mps_to_cmpdy / 3600.0)),
+        F("meltb", "cm/day", "basal ice melt",
+          _flux("meltb", mps_to_cmpdy / 3600.0)),
+        F("meltl", "cm/day", "lateral ice melt",
+          _flux("meltl", mps_to_cmpdy / 3600.0)),
+        F("melts", "cm/day", "snow melt",
+          _flux("melts", mps_to_cmpdy / 3600.0)),
+        F("fresh", "cm/day", "freshwater flux ice to ocean",
+          _flux("fresh", mps_to_cmpdy / cn.rhofresh)),
+        F("fsalt", "kg/m^2/day", "salt flux ice to ocean",
+          _flux("fsalt", 86400.0)),
+        F("fhocn", "W/m^2", "heat flux ice to ocean", _flux("fhocn")),
+        F("strairx", "N/m^2", "atm/ice stress (x)", _flux("strairxT")),
+        F("strairy", "N/m^2", "atm/ice stress (y)", _flux("strairyT")),
+        F("strocnx", "N/m^2", "ocean/ice stress (x)",
+          lambda s, fx, agg: s.strocnxT),
+        F("strocny", "N/m^2", "ocean/ice stress (y)",
+          lambda s, fx, agg: s.strocnyT),
+        F("dardg1dt", "%/day", "ice area ridging rate",
+          _flux("dardg1dt", 100.0 * 86400.0)),
+        F("dardg2dt", "%/day", "ridge area formation rate",
+          _flux("dardg2dt", 100.0 * 86400.0)),
+        F("dvirdgdt", "cm/day", "ice volume ridging rate",
+          _flux("dvirdgdt", mps_to_cmpdy)),
+        F("opening", "%/day", "lead area opening rate",
+          _flux("opening", 100.0 * 86400.0)),
+        F("alvdr", "1", "visible direct albedo", _flux("alvdr")),
+        F("alidr", "1", "near IR direct albedo", _flux("alidr")),
+        F("alvdf", "1", "visible diffuse albedo", _flux("alvdf")),
+        F("alidf", "1", "near IR diffuse albedo", _flux("alidf")),
+        F("albice", "1", "bare ice albedo", _flux("albice")),
+        F("albsno", "1", "snow albedo", _flux("albsno")),
+        F("coszen", "radian", "cosine of solar zenith angle",
+          _flux("coszen")),
+        F("fsurf_ai", "W/m^2", "net surface heat flux", _flux("fsurf")),
+        F("fcondtop_ai", "W/m^2", "top surface conductive flux",
+          _flux("fcondtop")),
+        F("icepresent", "1", "fraction of time-avg with ice",
+          lambda s, fx, agg: (agg["aice"] > cn.puny).astype(s.sst.dtype)),
+    ]
+    return {f.name: f for f in fields}
+
+
+class HistoryStream:
+    """One output stream: accumulates means, writes files."""
+
+    def __init__(self, grid: Grid, fields: dict[str, HistField],
+                 freq: str = "m", freq_n: int = 1, avg: bool = True,
+                 directory: str = "./history", prefix: str = "iceh"):
+        self.grid = grid
+        self.fields = fields
+        self.freq = freq
+        self.freq_n = freq_n
+        self.avg = avg
+        self.dir = directory
+        self.prefix = prefix
+        self.sums: dict[str, jnp.ndarray] = {}
+        self.count = 0
+
+    def accumulate(self, state: State, fluxes: dict):
+        agg = aggregate(state, self.grid.tmask)
+        for name, f in self.fields.items():
+            val = f.extract(state, fluxes, agg)
+            if val is None:
+                continue
+            if name in self.sums:
+                self.sums[name] = self.sums[name] + val
+            else:
+                self.sums[name] = val
+        self.count += 1
+
+    def write(self, idate: int, time_days: float) -> str | None:
+        if self.count == 0:
+            return None
+        from scipy.io import netcdf_file
+
+        os.makedirs(self.dir, exist_ok=True)
+        path = os.path.join(self.dir, f"{self.prefix}.{idate}.nc")
+        g = self.grid
+        with netcdf_file(path, "w") as nc:
+            nc.createDimension("time", 1)
+            nc.createDimension("nj", g.ny)
+            nc.createDimension("ni", g.nx)
+            tvar = nc.createVariable("time", "d", ("time",))
+            tvar[:] = [time_days]
+            tvar.units = b"days since 0001-01-01 00:00:00"
+            for nm, arr, units, lname in [
+                ("TLON", np.rad2deg(np.asarray(g.tlon)), "degrees_east",
+                 "T grid center longitude"),
+                ("TLAT", np.rad2deg(np.asarray(g.tlat)), "degrees_north",
+                 "T grid center latitude"),
+                ("tarea", np.asarray(g.tarea), "m^2", "T cell area"),
+                ("tmask", np.asarray(g.hm), "1", "ocean mask"),
+            ]:
+                v = nc.createVariable(nm, "f", ("nj", "ni"))
+                v[:] = arr.astype(np.float32)
+                v.units = units.encode()
+                v.long_name = lname.encode()
+            norm = 1.0 / self.count if self.avg else 1.0
+            land = ~np.asarray(g.tmask)
+            for name, total in self.sums.items():
+                f = self.fields[name]
+                v = nc.createVariable(name, "f", ("time", "nj", "ni"))
+                data = np.asarray(jax.device_get(total)) * norm
+                data = np.where(land, cn.spval, data).astype(np.float32)
+                v[:] = data[None]
+                v.units = f.units.encode()
+                v.long_name = f.long_name.encode()
+                v.missing_value = np.float32(cn.spval)
+                v.cell_measures = f.cell_measure.encode()
+        self.sums = {}
+        self.count = 0
+        return path
+
+
+class History:
+    """Multi-stream history manager (`histfreq` tuple of codes)."""
+
+    def __init__(self, grid: Grid, histfreq=("m",), histfreq_n=(1,),
+                 avg=True, directory="./history", prefix="iceh",
+                 fields=None):
+        fields = fields or default_fields()
+        self.streams = []
+        for k, freq in enumerate(histfreq):
+            if freq == "x":
+                continue
+            n = histfreq_n[k] if k < len(histfreq_n) else 1
+            suffix = prefix if k == 0 else f"{prefix}{k + 1}"
+            self.streams.append(
+                HistoryStream(grid, fields, freq, n, avg, directory,
+                              suffix))
+
+    def accumulate(self, state, fluxes):
+        for s in self.streams:
+            s.accumulate(state, fluxes)
+
+    def write_due(self, calendar) -> list[str]:
+        out = []
+        for s in self.streams:
+            if calendar.write_flag(s.freq, s.freq_n):
+                p = s.write(calendar.idate, calendar.time / 86400.0)
+                if p:
+                    out.append(p)
+        return out

@@ -352,68 +352,110 @@ def _quad_points(lx, ly, order):
     return pts
 
 
-class _TraceField:
-    """One transported tracer: value + reconstruction + hierarchy."""
+def _tracer_meta(tracer_names, nilyr, nslyr):
+    """Static transported-tracer table (``init_transport:81-170``):
+    (name, tracer_type, parent_row).  Rows: hi, hs, Tsfc, optional
+    tracers, qice layers (depend on hi), qsno layers (depend on hs)."""
+    meta = [("hi", 1, -1), ("hs", 1, -1), ("Tsfc", 1, -1)]
+    for name in tracer_names:
+        dep = TRACER_DEPEND[name]
+        meta.append((name, 1 if dep == 0 else 2,
+                     -1 if dep == 0 else (0 if dep == 1 else 1)))
+    for k in range(nilyr):
+        meta.append((f"qi{k}", 2, 0))
+    for k in range(nslyr):
+        meta.append((f"qs{k}", 2, 1))
+    return meta
 
-    __slots__ = ("name", "ttype", "parent", "tm", "tmask", "tc", "tx", "ty",
-                 "mtxav", "mtyav")
 
-    def __init__(self, name, ttype, parent):
-        self.name = name
-        self.ttype = ttype
-        self.parent = parent
+def _construct(mm, hm_real, tm, meta, bc):
+    """Batched reconstruction for one category
+    (``construct_fields:1069-1382``).  tm: (T, ny, nx) stacked tracers.
 
+    Returns (mc, mx, my, tc, tx, ty) with tracer arrays stacked.
+    """
+    idx1 = [k for k, (_, tt, _p) in enumerate(meta) if tt == 1]
+    idx2 = [k for k, (_, tt, _p) in enumerate(meta) if tt == 2]
+    par2 = [meta[k][2] for k in idx2]
 
-def _construct_category(mm, hm_real, tracers, bc):
-    """Reconstruction coefficients for one category
-    (``construct_fields:1069-1382``)."""
     mmask = (mm > cn.puny).astype(mm.dtype)
     mx, my = limited_gradient(mm, hm_real, jnp.zeros_like(mm),
                               jnp.zeros_like(mm), bc)
-    mc = mm  # xav = yav = 0
+    mc = mm
     safe_mm = jnp.maximum(mm, cn.puny)
     mxav = jnp.where(mmask > 0, mx / (12.0 * safe_mm), 0.0)
     myav = jnp.where(mmask > 0, my / (12.0 * safe_mm), 0.0)
 
-    for t in tracers:
-        t.tmask = (jnp.abs(t.tm) > 0.0).astype(mm.dtype) * mmask
-        if t.ttype == 1:
-            tx, ty = limited_gradient(t.tm, mmask, mxav, myav, bc)
-            tcv = t.tm - tx * mxav - ty * myav
-            t.tc, t.tx, t.ty = tcv, tx, ty
-            # center of mass*tracer, needed by dependents
-            w2 = mc * tx + mx * tcv
-            w3 = mc * ty + my * tcv
-            denom = jnp.maximum(mm * t.tm, cn.puny)
-            good = (mmask > 0) & (jnp.abs(t.tm) > cn.puny)
-            t.mtxav = jnp.where(good, w2 / (12.0 * denom), 0.0)
-            t.mtyav = jnp.where(good, w3 / (12.0 * denom), 0.0)
-        else:  # ttype == 2
-            p = tracers[t.parent]
-            tx, ty = limited_gradient(t.tm, p.tmask, p.mtxav, p.mtyav, bc)
-            t.tc = t.tm - tx * p.mtxav - ty * p.mtyav
-            t.tx, t.ty = tx, ty
-            t.mtxav = None
-            t.mtyav = None
-    return dict(mc=mc, mx=mx, my=my)
+    tmask = (jnp.abs(tm) > 0.0).astype(mm.dtype) * mmask[None]
+
+    # type-1 tracers: batched gradient about the center of mass
+    tm1 = tm[jnp.asarray(idx1)] if idx1 else tm[:0]
+    tx1, ty1 = limited_gradient(tm1, jnp.broadcast_to(mmask, tm1.shape),
+                                mxav[None], myav[None], bc)
+    tc1 = tm1 - tx1 * mxav[None] - ty1 * myav[None]
+
+    # centers of mass*tracer for rows with dependents
+    w2 = mc[None] * tx1 + mx[None] * tc1
+    w3 = mc[None] * ty1 + my[None] * tc1
+    denom = mm[None] * tm1
+    good = (mmask[None] > 0) & (jnp.abs(tm1) > cn.puny)
+    mtxav1 = jnp.where(good, w2 / (12.0 * jnp.where(jnp.abs(denom) > cn.puny,
+                                                    denom, 1.0)), 0.0)
+    mtyav1 = jnp.where(good, w3 / (12.0 * jnp.where(jnp.abs(denom) > cn.puny,
+                                                    denom, 1.0)), 0.0)
+
+    # type-2 tracers: batched gradient about parent's mass*tracer center
+    if idx2:
+        # map parent row index in `meta` -> row in the type-1 stack
+        row1_of = {k: r for r, k in enumerate(idx1)}
+        par_rows = jnp.asarray([row1_of[p] for p in par2])
+        tm2 = tm[jnp.asarray(idx2)]
+        pmask = tmask[jnp.asarray(par2)]
+        pmx = mtxav1[par_rows]
+        pmy = mtyav1[par_rows]
+        tx2, ty2 = limited_gradient(tm2, pmask, pmx, pmy, bc)
+        tc2 = tm2 - tx2 * pmx - ty2 * pmy
+    else:
+        tx2 = ty2 = tc2 = tm[:0]
+
+    # interleave back to the full stack order
+    T = len(meta)
+    out_shape = (T,) + mm.shape
+    tc = jnp.zeros(out_shape, mm.dtype)
+    tx = jnp.zeros(out_shape, mm.dtype)
+    ty = jnp.zeros(out_shape, mm.dtype)
+    if idx1:
+        a = jnp.asarray(idx1)
+        tc = tc.at[a].set(tc1)
+        tx = tx.at[a].set(tx1)
+        ty = ty.at[a].set(ty1)
+    if idx2:
+        a = jnp.asarray(idx2)
+        tc = tc.at[a].set(tc2)
+        tx = tx.at[a].set(tx2)
+        ty = ty.at[a].set(ty2)
+    return mc, mx, my, tc, tx, ty
 
 
-def _edge_integrals(edge, geom, mrec, tracers, bc, order):
-    """Mass and mass*tracer fluxes across all edges of one direction
-    (``transport_integrals:3307-3632``)."""
-    # shifted copies of reconstruction fields for the 6 flux positions
+def _edge_integrals(edge, geom, mc, mx, my, tc, tx, ty, meta, bc, order):
+    """Batched mass and mass*tracer fluxes across one edge direction
+    (``transport_integrals:3307-3632``).  Tracer arrays (T, ny, nx)."""
+    idx1 = [k for k, (_, tt, _p) in enumerate(meta) if tt == 1]
+    idx2 = [k for k, (_, tt, _p) in enumerate(meta) if tt == 2]
+    T = len(meta)
+
     def shift6(f):
         return [_shifted(f, edge, p, bc) for p in range(6)]
 
-    mc6 = shift6(mrec["mc"])
-    mx6 = shift6(mrec["mx"])
-    my6 = shift6(mrec["my"])
-    tc6 = [shift6(t.tc) for t in tracers]
-    tx6 = [shift6(t.tx) for t in tracers]
-    ty6 = [shift6(t.ty) for t in tracers]
+    mc6 = shift6(mc)
+    mx6 = shift6(mx)
+    my6 = shift6(my)
+    tc6 = shift6(tc)   # leading T axis rides through the halo ops
+    tx6 = shift6(tx)
+    ty6 = shift6(ty)
 
     mflx = 0.0
-    mtflx = [0.0] * len(tracers)
+    mtflx = 0.0
 
     for g in range(NGROUPS):
         lx, ly = geom["verts"][g]
@@ -429,6 +471,9 @@ def _edge_integrals(edge, geom, mrec, tracers, bc, order):
         mcg = gather(mc6)
         mxg = gather(mx6)
         myg = gather(my6)
+        tcg = gather(tc6)
+        txg = gather(tx6)
+        tyg = gather(ty6)
 
         pts = _quad_points(lx, ly, order)
         msum = 0.0
@@ -447,34 +492,74 @@ def _edge_integrals(edge, geom, mrec, tracers, bc, order):
             myysum = myysum + mq * py * py
         mflx = mflx + area * msum
 
-        mtsum = [None] * len(tracers)
-        mtxsum = [None] * len(tracers)
-        mtysum = [None] * len(tracers)
-        for k, t in enumerate(tracers):
-            tcg = gather(tc6[k])
-            txg = gather(tx6[k])
-            tyg = gather(ty6[k])
-            if t.ttype == 1:
-                mts = msum * tcg + mxsum * txg + mysum * tyg
-                mtxsum[k] = mxsum * tcg + mxxsum * txg + mxysum * tyg
-                mtysum[k] = mysum * tcg + mxysum * txg + myysum * tyg
-            else:
-                kp = t.parent
-                mts = (mtsum[kp] * tcg + mtxsum[kp] * txg
-                       + mtysum[kp] * tyg)
-            mtsum[k] = mts
-            mtflx[k] = mtflx[k] + area * mts
+        # type-1 rows (vectorized over the tracer axis)
+        mtsum = msum[None] * tcg + mxsum[None] * txg + mysum[None] * tyg
+        mtxsum = mxsum[None] * tcg + mxxsum[None] * txg + mxysum[None] * tyg
+        mtysum = mysum[None] * tcg + mxysum[None] * txg + myysum[None] * tyg
+
+        if idx2:
+            # type-2 rows: replace with parent-based integrals
+            a2 = jnp.asarray(idx2)
+            ap = jnp.asarray([meta[k][2] for k in idx2])
+            mts2 = (mtsum[ap] * tcg[a2] + mtxsum[ap] * txg[a2]
+                    + mtysum[ap] * tyg[a2])
+            mtsum = mtsum.at[a2].set(mts2)
+
+        mtflx = mtflx + area[None] * mtsum
 
     return mflx, mtflx
 
 
+def _remap_category(mm, tm, hm_real, tmask_land, tarear, geom_e, geom_n,
+                    meta, bc, order):
+    """Advect one category: reconstruction, integrals, update.
+
+    mm: (ny, nx) area; tm: (T, ny, nx) tracers.
+    Returns (mm_new, tm_new).
+    """
+    mc, mx, my, tc, tx, ty = _construct(mm, hm_real, tm, meta, bc)
+    mfe, mtfe = _edge_integrals("east", geom_e, mc, mx, my, tc, tx, ty,
+                                meta, bc, order)
+    mfn, mtfn = _edge_integrals("north", geom_n, mc, mx, my, tc, tx, ty,
+                                meta, bc, order)
+
+    # update_fields (":3642-3868")
+    par = jnp.asarray([max(p, 0) for (_n, _t, p) in meta])
+    is2 = jnp.asarray([1.0 if t == 2 else 0.0
+                       for (_n, t, _p) in meta])[:, None, None]
+    mtold = mm[None] * tm * jnp.where(is2 > 0, tm[par], 1.0)
+
+    div = (mfe - h.nbr_w(mfe, bc) + mfn - h.nbr_s(mfn, bc)) * tarear
+    mm_new = jnp.maximum(mm - div, 0.0)
+    mm_new = jnp.where(tmask_land, mm_new, 0.0)
+    pos_m = mm_new > 0.0
+    safe = jnp.maximum(mm_new, cn.puny)
+
+    divt = (mtfe - h.nbr_w(mtfe, bc) + mtfn - h.nbr_s(mtfn, bc)) \
+        * tarear[None]
+    mt = mtold - divt
+    t1 = jnp.where(pos_m[None], mt / safe[None], 0.0)
+    # type-2: divide by (mm * parent); parents (hi, hs) are nonnegative
+    pv = t1[par]
+    t2 = jnp.where(pos_m[None] & (pv > 0.0),
+                   mt / jnp.maximum(mm_new[None] * pv, cn.puny), 0.0)
+    tm_new = jnp.where(is2 > 0, t2, t1)
+    return mm_new, tm_new
+
+
 def transport_remap(state: State, grid: Grid, dt,
-                    integral_order: int = 2) -> State:
-    """Full incremental-remapping advection of the ice state."""
+                    integral_order: int = 2):
+    """Full incremental-remapping advection of the ice state.
+
+    Returns (state, aice0) — the advected open-water fraction feeds the
+    ridging opening/closing rates.
+    """
     bc = grid.bc
     ncat = state.ncat
     nilyr = state.eicen.shape[1]
     nslyr = state.esnon.shape[1]
+    tracer_names = list(state.trcrn.keys())
+    meta = _tracer_meta(tracer_names, nilyr, nslyr)
 
     # scaled departure displacements at U corners (departure_points)
     dx = -dt * state.uvel / grid.dxu
@@ -485,132 +570,63 @@ def transport_remap(state: State, grid: Grid, dt,
 
     # --- state_to_tracers (driver ":847-1003") -----------------------------
     aice0 = jnp.maximum(1.0 - jnp.sum(state.aicen, 0), 0.0)
-    tracer_names = list(state.trcrn.keys())
+    has = state.aicen > cn.puny
+    a_s = jnp.maximum(state.aicen, cn.puny)
+    v_s = jnp.maximum(state.vicen, cn.puny)
+    vs_s = jnp.maximum(state.vsnon, cn.puny)
+    hi = jnp.where(has, state.vicen / a_s, 0.0)
+    hs = jnp.where(has, state.vsnon / a_s, 0.0)
 
-    def cat_tracers(n):
-        """Build the ordered tracer list for category n."""
-        a = state.aicen[n]
-        has = a > cn.puny
-        a_s = jnp.maximum(a, cn.puny)
-        hi = jnp.where(has, state.vicen[n] / a_s, 0.0)
-        hs = jnp.where(has, state.vsnon[n] / a_s, 0.0)
-        v_s = jnp.maximum(state.vicen[n], cn.puny)
-        vs_s = jnp.maximum(state.vsnon[n], cn.puny)
+    rows = [hi, hs, jnp.where(has, state.tsfcn, 0.0)]
+    for name in tracer_names:
+        rows.append(jnp.where(has, state.trcrn[name], 0.0))
+    for k in range(nilyr):
+        rows.append(jnp.where(has, state.eicen[:, k] / v_s, 0.0))
+    for k in range(nslyr):
+        qs = state.esnon[:, k] / vs_s + cn.rhos * cn.Lfresh
+        rows.append(jnp.where(has & (hs > cn.puny), qs, 0.0))
+    tm = jnp.stack(rows, axis=1)          # (ncat, T, ny, nx)
 
-        tr = []
-        t = _TraceField("hi", 1, None)
-        t.tm = hi
-        tr.append(t)
-        t = _TraceField("hs", 1, None)
-        t.tm = hs
-        tr.append(t)
-        t = _TraceField("Tsfc", 1, None)
-        t.tm = jnp.where(has, state.tsfcn[n], 0.0)
-        tr.append(t)
-        for name in tracer_names:
-            dep = TRACER_DEPEND[name]
-            ttype = 1 if dep == 0 else 2
-            parent = None if dep == 0 else (0 if dep == 1 else 1)
-            t = _TraceField(name, ttype, parent)
-            t.tm = jnp.where(has, state.trcrn[name][n], 0.0)
-            tr.append(t)
-        for k in range(nilyr):
-            # qice_k = eicen_k / vicen (state_to_tracers ":925-931")
-            t = _TraceField(f"qi{k}", 2, 0)
-            t.tm = jnp.where(has, state.eicen[n, k] / v_s, 0.0)
-            tr.append(t)
-        for k in range(nslyr):
-            # qsno_k = esnon_k / vsnon + rhos*Lfresh (":936-943")
-            t = _TraceField(f"qs{k}", 2, 1)
-            qs = state.esnon[n, k] / vs_s + cn.rhos * cn.Lfresh
-            t.tm = jnp.where(has & (hs > cn.puny), qs, 0.0)
-            tr.append(t)
-        return a, tr
-
-    # --- advect open water (mass only); the advected aice0 feeds the
-    # ridging opening/closing rates (ridge_prep's divu_adv) ----------------
-    rec0 = _construct_category(aice0, grid.hm, [], bc)
-    mflx0_e, _ = _edge_integrals("east", geom_e, rec0, [], bc,
+    # --- advect open water (mass only); feeds ridging ----------------------
+    empty = jnp.zeros((0,) + aice0.shape, aice0.dtype)
+    mc0, mx0, my0, _tc, _tx, _ty = _construct(aice0, grid.hm, empty, [], bc)
+    mflx0_e, _ = _edge_integrals("east", geom_e, mc0, mx0, my0,
+                                 empty, empty, empty, [], bc,
                                  integral_order)
-    mflx0_n, _ = _edge_integrals("north", geom_n, rec0, [], bc,
+    mflx0_n, _ = _edge_integrals("north", geom_n, mc0, mx0, my0,
+                                 empty, empty, empty, [], bc,
                                  integral_order)
     aice0_new = aice0 - (mflx0_e - h.nbr_w(mflx0_e, bc)
                          + mflx0_n - h.nbr_s(mflx0_n, bc)) * grid.tarear
     aice0_new = jnp.where(grid.tmask, jnp.maximum(aice0_new, 0.0), 0.0)
 
-    # --- advect each category ----------------------------------------------
-    new_aicen = []
-    new_vicen = []
-    new_vsnon = []
-    new_tsfcn = []
-    new_eicen = []
-    new_esnon = []
-    new_trcrn = {name: [] for name in tracer_names}
+    # --- advect every category (vmapped) -----------------------------------
+    mm_new, tm_new = jax.vmap(
+        lambda mmn, tmn: _remap_category(mmn, tmn, grid.hm, grid.tmask,
+                                         grid.tarear, geom_e, geom_n,
+                                         meta, bc, integral_order)
+    )(state.aicen, tm)
 
-    for n in range(ncat):
-        mm, tracers = cat_tracers(n)
-        rec = _construct_category(mm, grid.hm, tracers, bc)
-        mfe, mtfe = _edge_integrals("east", geom_e, rec, tracers, bc,
-                                    integral_order)
-        mfn, mtfn = _edge_integrals("north", geom_n, rec, tracers, bc,
-                                    integral_order)
+    # --- tracers_to_state (driver ":1012-1137") ----------------------------
+    a = mm_new
+    pos_m = a > 0.0
+    hi_n = jnp.maximum(tm_new[:, 0], 0.0)
+    hs_n = jnp.maximum(tm_new[:, 1], 0.0)
+    tsfcn = jnp.where(pos_m, tm_new[:, 2], cn.Tocnfrz)
+    base = 3
+    trcrn = {}
+    for i, name in enumerate(tracer_names):
+        trcrn[name] = tm_new[:, base + i]
+    base += len(tracer_names)
+    eicen = jnp.stack(
+        [jnp.minimum(tm_new[:, base + k], 0.0) * a * hi_n
+         for k in range(nilyr)], axis=1)
+    base += nilyr
+    esnon = jnp.stack(
+        [jnp.minimum(tm_new[:, base + k] - cn.rhos * cn.Lfresh, 0.0)
+         * a * hs_n for k in range(nslyr)], axis=1)
 
-        # update_fields (":3642-3868")
-        mtold = []
-        for k, t in enumerate(tracers):
-            if t.ttype == 1:
-                mtold.append(mm * t.tm)
-            else:
-                mtold.append(mm * tracers[t.parent].tm * t.tm)
-
-        div = (mfe - h.nbr_w(mfe, bc) + mfn - h.nbr_s(mfn, bc)) \
-            * grid.tarear
-        mm_new = jnp.maximum(mm - div, 0.0)
-        mm_new = jnp.where(grid.tmask, mm_new, 0.0)
-        pos_m = mm_new > 0.0
-        safe = jnp.maximum(mm_new, cn.puny)
-
-        tnew = []
-        for k, t in enumerate(tracers):
-            divt = (mtfe[k] - h.nbr_w(mtfe[k], bc)
-                    + mtfn[k] - h.nbr_s(mtfn[k], bc)) * grid.tarear
-            mt = mtold[k] - divt
-            if t.ttype == 1:
-                tv = jnp.where(pos_m, mt / safe, 0.0)
-            else:
-                # parents (hi, hs) are nonnegative thicknesses
-                pv = tnew[t.parent]
-                tv = jnp.where(pos_m & (pv > 0.0),
-                               mt / jnp.maximum(mm_new * pv, cn.puny), 0.0)
-            tnew.append(tv)
-
-        # tracers_to_state (driver ":1012-1137")
-        a = mm_new
-        hi = jnp.maximum(tnew[0], 0.0)
-        hs = jnp.maximum(tnew[1], 0.0)
-        new_aicen.append(a)
-        new_vicen.append(a * hi)
-        new_vsnon.append(a * hs)
-        new_tsfcn.append(jnp.where(pos_m, tnew[2], cn.Tocnfrz))
-        base = 3
-        for idx, name in enumerate(tracer_names):
-            new_trcrn[name].append(tnew[base + idx])
-        base = 3 + len(tracer_names)
-        eic = []
-        for k in range(nilyr):
-            # eicen_k = qice_k * vicen (tracers_to_state inverse)
-            eic.append(jnp.minimum(tnew[base + k], 0.0) * a * hi)
-        new_eicen.append(jnp.stack(eic))
-        base = base + nilyr
-        esn = []
-        for k in range(nslyr):
-            qs = tnew[base + k] - cn.rhos * cn.Lfresh
-            esn.append(jnp.minimum(qs, 0.0) * a * hs)
-        new_esnon.append(jnp.stack(esn))
-
-    state = state.replace(
-        aicen=jnp.stack(new_aicen), vicen=jnp.stack(new_vicen),
-        vsnon=jnp.stack(new_vsnon), tsfcn=jnp.stack(new_tsfcn),
-        eicen=jnp.stack(new_eicen), esnon=jnp.stack(new_esnon),
-        trcrn={k: jnp.stack(v) for k, v in new_trcrn.items()})
+    state = state.replace(aicen=a, vicen=a * hi_n, vsnon=a * hs_n,
+                          tsfcn=tsfcn, eicen=eicen, esnon=esnon,
+                          trcrn=trcrn)
     return state, aice0_new

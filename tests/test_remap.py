@@ -124,20 +124,30 @@ def test_remap_less_diffusive_than_upwind(setup):
     s_u = blob_state(cfg, grid, itd, u=0.2)
     step_r = jax.jit(lambda st: transport_remap(st, grid, dt))
     step_u = jax.jit(lambda st: transport_upwind(st, grid, dt))
+    peak0 = float(jnp.max(s_r.aicen))
     for _ in range(20):
         s_r, _ = step_r(s_r)
         s_u, _ = step_u(s_u)
-    # remap preserves the peak better
-    assert float(jnp.max(s_r.aicen)) > float(jnp.max(s_u.aicen)) + 0.02
+    # remap loses much less of the peak than donor-cell upwind
+    loss_r = peak0 - float(jnp.max(s_r.aicen))
+    loss_u = peak0 - float(jnp.max(s_u.aicen))
+    assert loss_r < 0.6 * loss_u
 
 
 def test_remap_zero_velocity_identity(setup):
+    """Zero flow is an identity up to the reference's own sub-puny
+    handling (state_to_tracers skips cells with area <= puny, zeroing
+    their negligible volume — matching `ice_transport_driver.F90:
+    847-1003`)."""
     cfg, grid, itd = setup
     s = blob_state(cfg, grid, itd, u=0.0, v=0.0)
     out, aice0 = transport_remap(s, grid, 3600.0)
     assert np.allclose(np.asarray(out.aicen), np.asarray(s.aicen),
                        atol=1e-14)
-    assert np.allclose(np.asarray(out.vicen), np.asarray(s.vicen),
-                       atol=1e-14)
-    assert np.allclose(np.asarray(out.eicen), np.asarray(s.eicen),
-                       rtol=1e-12)
+    sig = np.asarray(s.aicen) > cn.puny
+    assert np.allclose(np.asarray(out.vicen)[sig],
+                       np.asarray(s.vicen)[sig], atol=1e-14)
+    assert np.abs(np.asarray(out.vicen)[~sig]).max() < 1e-10
+    sig4 = np.broadcast_to(sig[:, None], s.eicen.shape)
+    assert np.allclose(np.asarray(out.eicen)[sig4],
+                       np.asarray(s.eicen)[sig4], rtol=1e-12)
