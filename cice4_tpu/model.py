@@ -62,14 +62,39 @@ def _step_radiation(model: Model, state: State, grid: Grid, f: Forcing,
     (``ice_step_mod.F90 step_radiation:764-973``)."""
     cfg = model.cfg
     coszen = compute_coszen(grid.tlat, grid.tlon, yday, sec, dt)
-    ncat = model.itd.ncat
 
-    sw = jax.vmap(
-        lambda a, v, vs, t: shortwave_ccsm3(
-            cfg.radiation, model.itd.nilyr, model.itd.nslyr,
-            cfg.thermo.heat_capacity, a, v, vs, t,
-            f.swvdr, f.swvdf, f.swidr, f.swidf),
-    )(state.aicen, state.vicen, state.vsnon, state.tsfcn)
+    if cfg.radiation.shortwave == "dEdd":
+        from cice4_tpu.ops.meltpond import dpthfrac
+        from cice4_tpu.ops.shortwave_dedd import shortwave_dEdd
+
+        if "volpn" in state.trcrn:
+            apond = jnp.minimum(
+                jnp.sqrt(jnp.maximum(state.trcrn["volpn"], 0.0)
+                         / dpthfrac), 1.0)
+            hpond = dpthfrac * apond
+        else:
+            apond = hpond = None
+
+        def cat(a, v, vs, t, ap, hp):
+            return shortwave_dEdd(
+                cfg.radiation, model.itd.nilyr, model.itd.nslyr,
+                a, v, vs, t, coszen, f.swvdr, f.swvdf, f.swidr, f.swidf,
+                apond=ap, hpond=hp)
+
+        if apond is None:
+            sw = jax.vmap(lambda a, v, vs, t: cat(a, v, vs, t, None, None)
+                          )(state.aicen, state.vicen, state.vsnon,
+                            state.tsfcn)
+        else:
+            sw = jax.vmap(cat)(state.aicen, state.vicen, state.vsnon,
+                               state.tsfcn, apond, hpond)
+    else:
+        sw = jax.vmap(
+            lambda a, v, vs, t: shortwave_ccsm3(
+                cfg.radiation, model.itd.nilyr, model.itd.nslyr,
+                cfg.thermo.heat_capacity, a, v, vs, t,
+                f.swvdr, f.swvdf, f.swidr, f.swidf),
+        )(state.aicen, state.vicen, state.vsnon, state.tsfcn)
     sw["coszen"] = coszen
     return sw
 
@@ -118,6 +143,15 @@ def _step_therm1(model: Model, state: State, grid: Grid, f: Forcing,
         # increment_age (ice_age.F90:87-123)
         trcrn["iage"] = jnp.where(st["aicen"] > cn.puny,
                                   trcrn["iage"] + dt, 0.0)
+    if "volpn" in trcrn and cfg.radiation.shortwave == "dEdd":
+        # explicit melt ponds (ice_meltpond.F90 compute_ponds:88-230)
+        from cice4_tpu.ops.meltpond import compute_ponds
+        volpn, _ap, _hp = jax.vmap(
+            lambda mt, ms, a, v, vs, t, vp: compute_ponds(
+                dt, mt, ms, f.frain, a, v, vs, t, vp)
+        )(fx["meltt"], fx["melts"], st["aicen"], st["vicen"],
+          st["vsnon"], st["tsfcn"], trcrn["volpn"])
+        trcrn["volpn"] = volpn
 
     state = state.replace(aicen=st["aicen"], vicen=st["vicen"],
                           vsnon=st["vsnon"], tsfcn=st["tsfcn"],

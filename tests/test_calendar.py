@@ -42,7 +42,7 @@ def test_write_flags():
         if cal.write_flag("d"):
             dumps += 1
     assert hists == 2          # Feb 1, Mar 1
-    assert dumps == 61         # every new day
+    assert dumps == 62         # every midnight crossing (Jan 2 .. Mar 4)
 
 
 def test_leap_years():
