@@ -29,14 +29,15 @@ SERIAL_BASELINE = 1.42e5 / 4.0  # cell-steps/s per reference rank
 
 
 def main():
-    from cice4_tpu.config import gx3_config
+    from cice4_tpu.config import gx1_config, gx3_config
     from cice4_tpu.forcing import default_forcing
     from cice4_tpu.grid import make_grid
     from cice4_tpu.io.forcing_data import AnalyticForcing
     from cice4_tpu.model import Model, ice_step
     from cice4_tpu.state import init_state
 
-    cfg = gx3_config()
+    which = os.environ.get("BENCH_CONFIG", "gx1")
+    cfg = gx1_config() if which == "gx1" else gx3_config()
     grid = make_grid(cfg, dtype=jnp.float32)
     model = Model.create(cfg)
     state = init_state(cfg, grid, model.itd, dtype=jnp.float32)
@@ -68,7 +69,7 @@ def main():
     print(f"# {nsteps} steps in {wall:.3f} s on {jax.devices()[0].platform}",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "gx3 full-model cell-steps/s (1 chip)",
+        "metric": f"{which} full-model cell-steps/s (1 chip)",
         "value": rate,
         "unit": "cell-steps/s",
         "vs_baseline": rate / SERIAL_BASELINE,

@@ -256,6 +256,33 @@ def gx3_config(data_dir: str = "/root/reference/input_templates/gx3") -> Config:
     )
 
 
+def gx1_config(data_dir: str = "/root/reference/input_templates/gx1") -> Config:
+    """gx1-scale (320x384, 1 degree) configuration.
+
+    Uses the shipped gx1 land mask on a spherical lat-lon grid (the
+    true displaced-pole grid file is not distributed with the source).
+    """
+    return Config(
+        domain=DomainConfig(nx_global=320, ny_global=384,
+                            ew_boundary_type="cyclic",
+                            ns_boundary_type="closed"),
+        grid=GridConfig(grid_type="latlon",
+                        kmt_file=f"{data_dir}/global_gx1.kmt"),
+    )
+
+
+def access_om_config(nx: int = 360, ny: int = 300) -> Config:
+    """ACCESS-OM-scale tripole configuration (360x300 at 1 degree or
+    1440x1080 at 0.25 degree), synthetic spherical metrics with a
+    tripole NS boundary (the ACCESS grids are not distributed)."""
+    return Config(
+        domain=DomainConfig(nx_global=nx, ny_global=ny,
+                            ew_boundary_type="cyclic",
+                            ns_boundary_type="tripole"),
+        grid=GridConfig(grid_type="latlon"),
+    )
+
+
 def col_config() -> Config:
     """Single-column thermo-only configuration (``input_templates/col/ice_in``)."""
     return Config(

@@ -276,6 +276,39 @@ def make_rect_grid(nx: int, ny: int, bc: BoundaryConditions,
     return _make_grid(fields, bc, dtype)
 
 
+def make_latlon_grid(nx: int, ny: int, bc: BoundaryConditions,
+                     kmt_file: str | None = None,
+                     lat_south: float = -79.0, lat_north: float = 89.0,
+                     dtype=jnp.float32) -> Grid:
+    """Regular spherical latitude-longitude global grid.
+
+    Used for production-scale configurations whose true curvilinear
+    grid file is not distributed (the reference ships only the gx1 land
+    mask, ``input_templates/gx1/global_gx1.kmt``): spherical metrics
+    HTN = R cos(lat) dlon, HTE = R dlat, with the real KMT mask when
+    given.  EW must be cyclic; the north cap row should be land.
+    """
+    dlon = 2.0 * np.pi / nx
+    lats = np.deg2rad(np.linspace(lat_south, lat_north, ny))
+    dlat = lats[1] - lats[0]
+    ulat = np.broadcast_to(lats[:, None], (ny, nx)).copy()
+    lons = -np.pi + dlon * np.arange(1, nx + 1)
+    ulon = np.broadcast_to(lons[None, :], (ny, nx)).copy()
+    htn = cn.radius * np.cos(ulat - 0.5 * dlat) * dlon  # T-row north face
+    hte = np.full((ny, nx), cn.radius * dlat)
+    angle = np.zeros((ny, nx))
+    if kmt_file:
+        kmt = np.fromfile(kmt_file, dtype=">i4",
+                          count=nx * ny).reshape(ny, nx)
+        hm = (kmt >= 1).astype(np.float64)
+    else:
+        hm = np.ones((ny, nx))
+        hm[:1] = 0.0
+        hm[-1:] = 0.0
+    fields = _derive_metrics(htn, hte, ulat, ulon, angle, hm, bc)
+    return _make_grid(fields, bc, dtype)
+
+
 def make_grid(cfg: Config, dtype=jnp.float32) -> Grid:
     """Build the grid selected by the config (``init_grid1/2``)."""
     bc = BoundaryConditions(ew=cfg.domain.ew_boundary_type,
@@ -291,6 +324,9 @@ def make_grid(cfg: Config, dtype=jnp.float32) -> Grid:
                               lat_origin=g.lat_origin, lon_origin=g.lon_origin,
                               land_edges=(g.grid_type == "rectangular"),
                               dtype=dtype)
+    if g.grid_type == "latlon":
+        return make_latlon_grid(cfg.domain.nx_global, cfg.domain.ny_global,
+                                bc, kmt_file=g.kmt_file or None, dtype=dtype)
     raise ValueError(f"unknown grid_type {g.grid_type!r}")
 
 
