@@ -42,6 +42,12 @@ NGROUPS = 6
 # neighbor-position codes for flux cells
 TL, BL, TR, BR, TC, BC = 0, 1, 2, 3, 4, 5
 
+# which positions each triangle group can flux into (static): the
+# corner groups touch only their own corner cells, the three central
+# groups only TC/BC — this bounds the gather-select chains
+GROUP_POSITIONS = ((TL, BL), (TR, BR), (TL, BL, TR, BR),
+                   (TC, BC), (TC, BC), (TC, BC))
+
 # (ishift, jshift) per position, per edge (ice_transport_remap.F90:1990-2030)
 SHIFTS = {
     "north": {TL: (-1, 1), BL: (-1, 0), TR: (1, 1), BR: (1, 0),
@@ -444,8 +450,11 @@ def _edge_integrals(edge, geom, mc, mx, my, tc, tx, ty, meta, bc, order):
     idx2 = [k for k, (_, tt, _p) in enumerate(meta) if tt == 2]
     T = len(meta)
 
+    # shifted copies only for positions some group can use
+    used = sorted({p for ps in GROUP_POSITIONS for p in ps})
+
     def shift6(f):
-        return [_shifted(f, edge, p, bc) for p in range(6)]
+        return {p: _shifted(f, edge, p, bc) for p in used}
 
     mc6 = shift6(mc)
     mx6 = shift6(mx)
@@ -461,10 +470,11 @@ def _edge_integrals(edge, geom, mc, mx, my, tc, tx, ty, meta, bc, order):
         lx, ly = geom["verts"][g]
         pos = geom["pos"][g]
         area = geom["triarea"][g]
+        cands = GROUP_POSITIONS[g]
 
         def gather(f6):
-            out = f6[5]
-            for p in range(5):
+            out = f6[cands[-1]]
+            for p in cands[:-1]:
                 out = jnp.where(pos == p, f6[p], out)
             return out
 

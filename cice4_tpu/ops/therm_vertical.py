@@ -431,10 +431,17 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
         # condition 4
         newly_unconv = newly_unconv | ((Tsf_new > -cn.puny)
                                        & (fsurfn_new < fct_new))
-        # condition 5: energy conservation
+        # condition 5: energy conservation.  The reference's fixed
+        # ferrmax (1e-3 W/m^2) assumes float64; in float32 the
+        # (enew - einit)/dt difference carries quantization noise of
+        # order eps * |einit| / dt (~1e-2 W/m^2 for 2 m ice), so the
+        # threshold gets a dtype-adaptive floor — without it the loop
+        # always runs to nitermax in single precision.
         fcondbot = kh_c[nslyr + nilyr] * (Tin_new[nilyr - 1] - Tbot)
         ferr = jnp.abs((enew - einit) / dt - (fct_new - fcondbot + fswint))
-        bad_e = ferr > 0.9 * ferrmax
+        eps = jnp.finfo(ferr.dtype).eps
+        ferrmax_eff = jnp.maximum(ferrmax, 8.0 * eps * jnp.abs(einit) / dt)
+        bad_e = ferr > 0.9 * ferrmax_eff
         newly_unconv = newly_unconv | bad_e
 
         # conductivity reduction for overshooting layers (":2060-2072")
