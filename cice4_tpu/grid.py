@@ -276,6 +276,25 @@ def make_rect_grid(nx: int, ny: int, bc: BoundaryConditions,
     return _make_grid(fields, bc, dtype)
 
 
+def load_pop_grid_nc(grid_file: str, kmt_file: str,
+                     bc: BoundaryConditions, dtype=jnp.float32) -> Grid:
+    """Read a POP grid from netCDF (``ice_grid.F90 popgrid_nc:617-839``):
+    variables ulat/ulon (rad), htn/hte (cm), angle (rad); kmt int."""
+    from scipy.io import netcdf_file
+
+    with netcdf_file(grid_file, "r", mmap=False) as f:
+        ulat = np.array(f.variables["ulat"][:], dtype=np.float64)
+        ulon = np.array(f.variables["ulon"][:], dtype=np.float64)
+        htn = np.array(f.variables["htn"][:], dtype=np.float64) * cn.cm_to_m
+        hte = np.array(f.variables["hte"][:], dtype=np.float64) * cn.cm_to_m
+        angle = np.array(f.variables["angle"][:], dtype=np.float64)
+    with netcdf_file(kmt_file, "r", mmap=False) as f:
+        kmt = np.array(f.variables["kmt"][:])
+    hm = (kmt >= 1).astype(np.float64)
+    fields = _derive_metrics(htn, hte, ulat, ulon, angle, hm, bc)
+    return _make_grid(fields, bc, dtype)
+
+
 def make_latlon_grid(nx: int, ny: int, bc: BoundaryConditions,
                      kmt_file: str | None = None,
                      lat_south: float = -79.0, lat_north: float = 89.0,
@@ -315,6 +334,8 @@ def make_grid(cfg: Config, dtype=jnp.float32) -> Grid:
                             ns=cfg.domain.ns_boundary_type)
     g = cfg.grid
     if g.grid_type in ("displaced_pole", "tripole"):
+        if g.grid_format == "nc":
+            return load_pop_grid_nc(g.grid_file, g.kmt_file, bc, dtype)
         return load_pop_grid(g.grid_file, g.kmt_file,
                              cfg.domain.nx_global, cfg.domain.ny_global,
                              bc, dtype)

@@ -279,3 +279,23 @@ def column_sums(state: State):
         eice=jnp.sum(state.eicen, (0, 1)),
         esno=jnp.sum(state.esnon, (0, 1)),
     )
+
+
+def reduce_area(tmask, hin_max0, aicen1, vicen1, aicen1_init, vicen1_init):
+    """Open-water adjustment when melting with ncat = 1
+    (``ice_itd.F90 reduce_area:802-883``): reduce the single category's
+    area as it thins so open water can form.  Returns new aicen1."""
+    hi0 = jnp.where(aicen1_init > 0.0,
+                    vicen1_init / jnp.maximum(aicen1_init, cn.puny), 0.0)
+    hi1 = jnp.where(aicen1 > 0.0,
+                    vicen1 / jnp.maximum(aicen1, cn.puny), 0.0)
+    thin = (hi1 <= hin_max0) & (hin_max0 > 0.0)
+    aicen1 = jnp.where(thin, vicen1 / max(hin_max0, cn.puny), aicen1)
+    hi1 = jnp.where(thin, hin_max0, hi1)
+    melting = (aicen1 > 0.0) & (hi1 - hi0 < 0.0)
+    hi1m = jnp.where(aicen1 > 0.0, vicen1 / jnp.maximum(aicen1, cn.puny),
+                     hi1)
+    aicen1 = jnp.where(melting,
+                       2.0 * vicen1 / jnp.maximum(hi1m + hi0, cn.puny),
+                       aicen1)
+    return jnp.where(tmask, aicen1, 0.0)

@@ -508,6 +508,82 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
     )
 
 
+def zerolayer_temperature(p: ThermoParams, dt, has_ice,
+                          rhoa, flw, potT, Qa, shcoef, lhcoef,
+                          fswsfc, fswthru, hilyr, hslyr, Tsf, Tbot):
+    """Zero-heat-capacity surface temperature solve
+    (``zerolayer_temperature:3168-3603``): a single surface energy
+    balance through the effective slab conductivity
+    kh = kseaice / (hi + hs*kseaice/ksno)."""
+    kratio = cn.kseaice / cn.ksno
+    zero = jnp.zeros_like(Tsf)
+
+    def cond(c):
+        return (~c["all_conv"]) & (c["niter"] < nitermax)
+
+    def body(c):
+        active = ~c["converged"] & has_ice
+        Tsf_c = c["Tsf"]
+        sf = _surface_fluxes(Tsf_c, fswsfc, rhoa, flw, potT, Qa,
+                             shcoef, lhcoef)
+        heff = hilyr * p.nilyr + kratio * hslyr * p.nslyr
+        kh = cn.kseaice / jnp.maximum(heff, cn.puny)
+        fct = kh * (Tsf_c - Tbot)
+        Tsf_c = jnp.where(active & (sf["fsurfn"] < fct),
+                          jnp.minimum(Tsf_c, -cn.puny), Tsf_c)
+        Tsf_start = Tsf_c
+
+        diag = sf["dfsurf_dT"] - kh
+        rhs = sf["dfsurf_dT"] * Tsf_c - sf["fsurfn"] - kh * Tbot
+        Tsf_new = rhs / jnp.where(jnp.abs(diag) > cn.puny, diag, -cn.puny)
+
+        dTsf = Tsf_new - Tsf_start
+        unconv = jnp.zeros_like(active)
+        hot = Tsf_new > cn.puny
+        Tsf_new = jnp.where(hot, 0.0, Tsf_new)
+        dTsf = jnp.where(hot, -Tsf_start, dTsf)
+        osc = ((c["niter"] > 0) & (Tsf_start <= -cn.puny)
+               & (jnp.abs(dTsf) > cn.puny)
+               & (jnp.abs(c["dTsf_prev"]) > cn.puny)
+               & (-dTsf / (c["dTsf_prev"] + cn.puny**2) > 0.5))
+        dTsf = jnp.where(osc, 0.5 * dTsf, dTsf)
+        Tsf_new = Tsf_new + jnp.where(osc, 0.5 * (Tsf_start - Tsf_new), 0.0)
+        unconv = unconv | osc | (jnp.abs(dTsf) > Tsf_errmax)
+
+        fsurfn = sf["fsurfn"] + dTsf * sf["dfsurf_dT"]
+        fct_new = kh * (Tsf_new - Tbot)
+        unconv = unconv | ((Tsf_new > -cn.puny) & (fsurfn < fct_new))
+
+        def mrg(new, old):
+            return jnp.where(active, new, old)
+
+        out = dict(c)
+        out["Tsf"] = mrg(Tsf_new, c["Tsf"])
+        out["dTsf_prev"] = mrg(dTsf, c["dTsf_prev"])
+        out["fsurfn"] = mrg(fsurfn, c["fsurfn"])
+        out["fcondtopn"] = mrg(fct_new, c["fcondtopn"])
+        out["fsensn"] = mrg(sf["fsensn"] + dTsf * sf["dfsens_dT"],
+                            c["fsensn"])
+        out["flatn"] = mrg(sf["flatn"] + dTsf * sf["dflat_dT"], c["flatn"])
+        out["flwoutn"] = mrg(sf["flwoutn"] + dTsf * sf["dflwout_dT"],
+                             c["flwoutn"])
+        out["converged"] = jnp.where(active, ~unconv, c["converged"])
+        out["all_conv"] = jnp.all(out["converged"] | ~has_ice)
+        out["niter"] = c["niter"] + 1
+        return out
+
+    c0 = dict(Tsf=Tsf, dTsf_prev=zero, fsurfn=zero, fcondtopn=zero,
+              fsensn=zero, flatn=zero, flwoutn=zero,
+              converged=jnp.zeros_like(has_ice),
+              all_conv=jnp.asarray(False), niter=jnp.asarray(0))
+    r = jax.lax.while_loop(cond, body, c0)
+    fswabsn = fswsfc + fswthru
+    return dict(Tsf=r["Tsf"], fsurfn=r["fsurfn"],
+                fcondtopn=r["fcondtopn"], fcondbot=r["fcondtopn"],
+                fsensn=r["fsensn"], flatn=r["flatn"],
+                flwoutn=r["flwoutn"], fswabsn=fswabsn, niter=r["niter"])
+
+
 def thickness_changes(p: ThermoParams, dt, has_ice, hilyr, hslyr,
                       qin, qsn, fbot, Tbot, flatn, fsurfn, fcondtopn,
                       fcondbot, fsnow):
@@ -739,10 +815,23 @@ def thermo_vertical_category(p: ThermoParams, dt, aicen, vicen, vsnon,
     hin0, hsn0 = hin, hsn
 
     # --- temperature solve -------------------------------------------------
-    tc = temperature_changes(p, dt, has_ice, rhoa, flw, potT, Qa,
-                             shcoef, lhcoef, fswsfc, fswint, fswthrun,
-                             Sswabs, Iswabs, hilyr, hslyr, qin, Tin,
-                             qsn, Tsn, Tsf, Tbot, einit)
+    if p.heat_capacity:
+        tc = temperature_changes(p, dt, has_ice, rhoa, flw, potT, Qa,
+                                 shcoef, lhcoef, fswsfc, fswint, fswthrun,
+                                 Sswabs, Iswabs, hilyr, hslyr, qin, Tin,
+                                 qsn, Tsn, Tsf, Tbot, einit)
+    else:
+        z = zerolayer_temperature(p, dt, has_ice, rhoa, flw, potT, Qa,
+                                  shcoef, lhcoef, fswsfc, fswthrun,
+                                  hilyr, hslyr, Tsf, Tbot)
+        tc = dict(Tsf=z["Tsf"], Tsn=Tsn, Tin=Tin, qsn=qsn, qin=qin,
+                  fsurfn=z["fsurfn"], fcondtopn=z["fcondtopn"],
+                  fcondbot=z["fcondbot"], fsensn=z["fsensn"],
+                  flatn=z["flatn"], flwoutn=z["flwoutn"],
+                  fswabsn=z["fswabsn"], fswsfc=fswsfc,
+                  fswint=jnp.zeros_like(fswsfc), Sswabs=Sswabs,
+                  Iswabs=Iswabs, converged=jnp.ones_like(has_ice),
+                  niter=z["niter"])
 
     # --- thickness changes -------------------------------------------------
     th = thickness_changes(p, dt, has_ice, hilyr, hslyr,
