@@ -16,17 +16,18 @@ def _load_config(args):
 
     if args.preset == "gx3":
         cfg = gx3_config()
+    elif args.preset == "gx1":
+        from cice4_tpu.config import gx1_config
+        cfg = gx1_config()
     elif args.preset == "col":
         from cice4_tpu.config import col_config
         cfg = col_config()
     else:
         cfg = Config()
-    if args.config:
+    if args.config:  # explicit config file overrides any preset
         import tomllib
         with open(args.config, "rb") as f:
             tree = tomllib.load(f)
-        base = config_from_dict(tree)
-        cfg = base if args.preset is None else cfg  # explicit file wins
         cfg = config_from_dict(tree)
     for kv in args.set or []:
         key, val = kv.split("=", 1)
@@ -46,7 +47,8 @@ def main(argv=None):
 
     runp = sub.add_parser("run", help="run the model")
     runp.add_argument("config", nargs="?", help="TOML config file")
-    runp.add_argument("--preset", choices=["gx3", "col"], default=None)
+    runp.add_argument("--preset", choices=["gx3", "gx1", "col"],
+                      default=None)
     runp.add_argument("--steps", type=int, default=None)
     runp.add_argument("--f64", action="store_true")
     runp.add_argument("--set", action="append", metavar="sec.key=val",

@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; the
+# config update is what actually forces the CPU backend (needed for the
+# 8-virtual-device mesh and true float64).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the model-step graphs take minutes to
 # compile on the CPU backend; cache them across test runs.
