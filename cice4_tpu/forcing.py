@@ -24,6 +24,7 @@ from cice4_tpu import constants as cn
         "zlvl", "uatm", "vatm", "wind", "potT", "Tair", "Qa", "rhoa",
         "flw", "swvdr", "swvdf", "swidr", "swidf", "frain", "fsnow",
         "sss", "uocn", "vocn", "ss_tltx", "ss_tlty", "qdp", "hmix",
+        "fsurfn_f", "fcondtopn_f", "flatn_f",
     ],
     meta_fields=[],
 )
@@ -55,6 +56,12 @@ class Forcing:
     ss_tlty: jax.Array
     qdp: jax.Array     # deep ocean heat flux (W/m^2)
     hmix: jax.Array    # mixed layer depth (m)
+    # coupled calc_Tsfc=F mode: prescribed per-category surface fluxes
+    # ((ncat, ny, nx); None when the model computes them itself)
+    # (CICE_RunMod.F90 set_sfcflux:787-920)
+    fsurfn_f: jax.Array | None = None     # net surface flux excl. conductive
+    fcondtopn_f: jax.Array | None = None  # downward conductive flux at top
+    flatn_f: jax.Array | None = None      # latent heat flux
 
     def replace(self, **kw) -> "Forcing":
         return dataclasses.replace(self, **kw)

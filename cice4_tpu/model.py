@@ -112,8 +112,11 @@ def _step_therm1(model: Model, state: State, grid: Grid, f: Forcing,
         model.thermo, dt, agg["aice"], state.frzmlt, state.eicen,
         state.esnon, state.sst, Tf, state.strocnxT, state.strocnyT)
 
+    prescribed = (not cfg.thermo.calc_Tsfc) and f.fsurfn_f is not None
+
     def percat(aicen, vicen, vsnon, tsfcn, eicen, esnon,
-               fswsfc, fswint, fswthru, Sswabs, Iswabs):
+               fswsfc, fswint, fswthru, Sswabs, Iswabs,
+               fsurfn_f=None, fcondtopn_f=None, flatn_f=None):
         if cfg.thermo.atmbndy == "constant":
             bl = atmo_boundary_const("ice", f.uatm, f.vatm, f.wind, f.rhoa,
                                      cfg.thermo.calc_strair)
@@ -121,22 +124,50 @@ def _step_therm1(model: Model, state: State, grid: Grid, f: Forcing,
             bl = atmo_boundary_layer("ice", tsfcn, f.potT, f.uatm, f.vatm,
                                      f.wind, f.zlvl, f.Qa, f.rhoa,
                                      cfg.thermo.calc_strair)
+        pre = {}
+        ex = None
+        if not cfg.thermo.calc_Tsfc:
+            if prescribed:
+                # coupler-supplied per-category fluxes (set_sfcflux,
+                # CICE_RunMod.F90:787-920; raicen=1 standalone)
+                pre = dict(fsurfn_pre=fsurfn_f,
+                           fcondtopn_pre=fcondtopn_f,
+                           flatn_pre=flatn_f)
+            else:
+                # ice-only testing mode: explicit surface scheme
+                # (CICE_RunMod.F90:465-499)
+                from cice4_tpu.ops.therm_vertical import explicit_calc_tsfc
+                ex = explicit_calc_tsfc(
+                    model.thermo, dt, aicen, vicen, vsnon, tsfcn,
+                    eicen, esnon, f.rhoa, f.flw, f.potT, f.Qa,
+                    bl["shcoef"], bl["lhcoef"], fswsfc)
+                tsfcn = ex["Tsf"]
+                pre = dict(fsurfn_pre=ex["fsurfn"],
+                           fcondtopn_pre=ex["fcondtopn"],
+                           flatn_pre=ex["flatn"])
         st, fx = thermo_vertical_category(
             model.thermo, dt, aicen, vicen, vsnon, tsfcn, eicen, esnon,
             f.flw, f.potT, f.Qa, f.rhoa, f.fsnow, fbot, Tbot, Tf,
             bl["lhcoef"], bl["shcoef"], fswsfc, fswint, fswthru,
-            Sswabs, Iswabs)
+            Sswabs, Iswabs, **pre)
+        if ex is not None:
+            fx["fsensn"] = ex["fsensn"]
+            fx["flwoutn"] = ex["flwoutn"]
         fx["strairxn"] = bl["strx"]
         fx["strairyn"] = bl["stry"]
         fx["Trefn"] = bl["Tref"]
         fx["Qrefn"] = bl["Qref"]
         return st, fx
 
-    st, fx = jax.vmap(percat)(
-        state.aicen, state.vicen, state.vsnon, state.tsfcn,
-        state.eicen, state.esnon,
-        sw["fswsfc"], sw["fswint"], sw["fswthru"],
-        sw["Sswabs"], sw["Iswabs"])
+    cat_args = (state.aicen, state.vicen, state.vsnon, state.tsfcn,
+                state.eicen, state.esnon,
+                sw["fswsfc"], sw["fswint"], sw["fswthru"],
+                sw["Sswabs"], sw["Iswabs"])
+    if prescribed:
+        st, fx = jax.vmap(percat)(*cat_args, f.fsurfn_f, f.fcondtopn_f,
+                                  f.flatn_f)
+    else:
+        st, fx = jax.vmap(lambda *a: percat(*a))(*cat_args)
 
     trcrn = dict(state.trcrn)
     if "iage" in trcrn:
@@ -229,7 +260,8 @@ def _step_dynamics(model: Model, state: State, grid: Grid, f: Forcing,
     if cfg.transport.advection == "remap":
         from cice4_tpu.ops.remap import transport_remap
         state, aice0_adv = transport_remap(state, grid, dt,
-                                           cfg.transport.integral_order)
+                                           cfg.transport.integral_order,
+                                           cfg.transport.l_dp_midpt)
     elif cfg.transport.advection == "upwind":
         state, aice0_adv = transport.transport_upwind(state, grid, dt)
     else:

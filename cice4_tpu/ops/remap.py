@@ -520,6 +520,59 @@ def _edge_integrals(edge, geom, mc, mx, my, tc, tx, ty, meta, bc, order):
     return mflx, mtflx
 
 
+def _departure_midpoint(uvel, vvel, dx, dy, dt, grid: Grid, bc):
+    """Second-order departure points via corrected midpoint velocity
+    (``departure_points:1673-1751``, l_dp_midpt = T).
+
+    dx/dy are the scaled first-order displacements (-dt u / dxu); the
+    returned displacements are scaled the same way.  The reference's
+    quadrant branch (which of the four cells around the corner holds
+    the trajectory midpoint) becomes a 4-way masked select; the
+    bilinear velocity estimate uses the 8 neighboring U corners.
+    """
+    from cice4_tpu.constants import FieldLoc, FieldType
+    kw = dict(loc=FieldLoc.NE_CORNER, ftype=FieldType.VECTOR)
+
+    def nbrs(f):
+        e = h.nbr_e(f, bc, **kw)
+        w = h.nbr_w(f, bc, **kw)
+        n = h.nbr_n(f, bc, **kw)
+        s = h.nbr_s(f, bc, **kw)
+        return dict(c=f, e=e, w=w, n=n, s=s,
+                    ne=h.nbr_n(e, bc, **kw), nw=h.nbr_n(w, bc, **kw),
+                    se=h.nbr_s(e, bc, **kw), sw=h.nbr_s(w, bc, **kw))
+
+    u, v = nbrs(uvel), nbrs(vvel)
+    mpx, mpy = 0.5 * dx, 0.5 * dy
+    px, py = mpx >= 0.0, mpy >= 0.0
+
+    def bilin(f, c00, c10, c11, c01, mpxt, mpyt):
+        # f(i2-1,j2-1)*(x-.5)(y-.5) - f(i2,j2-1)*(x+.5)(y-.5)
+        # + f(i2,j2)*(x+.5)(y+.5) - f(i2-1,j2)*(x-.5)(y+.5)
+        return (f[c00] * (mpxt - 0.5) * (mpyt - 0.5)
+                - f[c10] * (mpxt + 0.5) * (mpyt - 0.5)
+                + f[c11] * (mpxt + 0.5) * (mpyt + 0.5)
+                - f[c01] * (mpxt - 0.5) * (mpyt + 0.5))
+
+    # quadrant corner names: (i2-1,j2-1), (i2,j2-1), (i2,j2), (i2-1,j2)
+    quads = [
+        (px & py, ("c", "e", "ne", "n"), mpx - 0.5, mpy - 0.5),    # NE cell
+        (~px & ~py, ("sw", "s", "c", "w"), mpx + 0.5, mpy + 0.5),  # SW cell
+        (px & ~py, ("s", "se", "e", "c"), mpx - 0.5, mpy + 0.5),   # SE cell
+        (~px & py, ("w", "c", "n", "nw"), mpx + 0.5, mpy - 0.5),   # NW cell
+    ]
+    ump = jnp.zeros_like(uvel)
+    vmp = jnp.zeros_like(vvel)
+    for sel, (c00, c10, c11, c01), mpxt, mpyt in quads:
+        ump = jnp.where(sel, bilin(u, c00, c10, c11, c01, mpxt, mpyt), ump)
+        vmp = jnp.where(sel, bilin(v, c00, c10, c11, c01, mpxt, mpyt), vmp)
+
+    moving = (uvel != 0.0) | (vvel != 0.0)
+    dx_new = jnp.where(moving, -dt * ump / grid.dxu, dx)
+    dy_new = jnp.where(moving, -dt * vmp / grid.dyu, dy)
+    return dx_new, dy_new
+
+
 def _remap_category(mm, tm, hm_real, tmask_land, tarear, geom_e, geom_n,
                     meta, bc, order):
     """Advect one category: reconstruction, integrals, update.
@@ -558,7 +611,7 @@ def _remap_category(mm, tm, hm_real, tmask_land, tarear, geom_e, geom_n,
 
 
 def transport_remap(state: State, grid: Grid, dt,
-                    integral_order: int = 2):
+                    integral_order: int = 2, dp_midpt: bool = False):
     """Full incremental-remapping advection of the ice state.
 
     Returns (state, aice0) — the advected open-water fraction feeds the
@@ -574,6 +627,9 @@ def transport_remap(state: State, grid: Grid, dt,
     # scaled departure displacements at U corners (departure_points)
     dx = -dt * state.uvel / grid.dxu
     dy = -dt * state.vvel / grid.dyu
+    if dp_midpt:
+        dx, dy = _departure_midpoint(state.uvel, state.vvel, dx, dy, dt,
+                                     grid, bc)
 
     geom_e = _edge_geometry("east", grid, dx, dy)
     geom_n = _edge_geometry("north", grid, dx, dy)

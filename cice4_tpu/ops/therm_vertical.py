@@ -508,6 +508,252 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
     )
 
 
+def temperature_changes_know_tsfc(p: ThermoParams, dt, has_ice,
+                                  fcondtopn,
+                                  fswsfc, fswint, fswthrun, Sswabs, Iswabs,
+                                  hilyr, hslyr, qin, Tin, qsn, Tsn,
+                                  Tbot, einit):
+    """Implicit temperature solve with a *prescribed* top conductive
+    flux (``get_matrix_elements_know_Tsfc:2777-3050`` + the
+    ``calc_Tsfc=F`` branches of ``temperature_changes``): the surface
+    temperature is not solved — the coupler supplies ``fcondtopn`` —
+    so the top active layer's boundary condition is the prescribed
+    flux and the surface row is a dummy equation.
+
+    Convergence = no oscillation in the top ice temperature
+    (condition 2b, ``:1961-1975``) + energy conservation (condition 5).
+    """
+    nilyr, nslyr = p.nilyr, p.nslyr
+    tmlt = jnp.asarray(p.tmlt)[:nilyr, None, None]
+
+    l_snow = has_ice & (hslyr > hs_min / nslyr)
+    dt_rhoi_hlyr = dt / (cn.rhoi * jnp.maximum(hilyr, cn.puny))
+    etas = jnp.where(l_snow,
+                     dt / (cn.rhos * cn.cp_ice * jnp.maximum(hslyr, cn.puny)),
+                     0.0)
+
+    Tsn_init = Tsn
+    Tin_init = Tin
+    kh = _conductivity(p, l_snow, hilyr, hslyr, Tin)
+    zero = jnp.zeros_like(hilyr)
+    fswabsn = fswsfc + fswint + fswthrun
+
+    def body(carry):
+        active = ~carry["converged"] & has_ice
+        Tsn_c, Tin_c, kh_c = carry["Tsn"], carry["Tin"], carry["kh"]
+
+        # specific heat from latest guess (same scheme as calc_Tsfc=T)
+        if p.l_brine:
+            ci = cn.cp_ice - cn.Lfresh * tmlt / \
+                (jnp.minimum(Tin_c, -cn.puny) * jnp.minimum(Tin_init,
+                                                            -cn.puny))
+        else:
+            ci = jnp.full_like(Tin_c, cn.cp_ice)
+        etai = dt_rhoi_hlyr[None] / ci
+
+        # tridiagonal rows: surface + snow-when-absent rows are dummies
+        sb, d, sp, rhs = [zero], [jnp.ones_like(zero)], [zero], [zero]
+        for k in range(nslyr):
+            sbk = jnp.where(l_snow, -etas * kh_c[k], 0.0)
+            spk = jnp.where(l_snow, -etas * kh_c[k + 1], 0.0)
+            dk = jnp.where(l_snow, 1.0 + etas * (kh_c[k] + kh_c[k + 1]),
+                           1.0)
+            rhk = jnp.where(l_snow, Tsn_init[k] + etas * Sswabs[k], 0.0)
+            if k == 0:
+                # prescribed flux enters the top snow layer; no
+                # coupling to the (unsolved) surface above
+                sbk = zero
+                dk = jnp.where(l_snow, 1.0 + etas * kh_c[1], 1.0)
+                rhk = jnp.where(l_snow, rhk + etas * fcondtopn, 0.0)
+            sb.append(sbk), d.append(dk), sp.append(spk), rhs.append(rhk)
+        for ki in range(nilyr):
+            k = ki + nslyr
+            sbk = -etai[ki] * kh_c[k]
+            spk = -etai[ki] * kh_c[k + 1]
+            dk = 1.0 + etai[ki] * (kh_c[k] + kh_c[k + 1])
+            rhk = Tin_init[ki] + etai[ki] * Iswabs[ki]
+            if ki == 0:
+                # no snow: prescribed flux enters the top ice layer
+                sbk = jnp.where(l_snow, sbk, 0.0)
+                dk = jnp.where(l_snow, dk,
+                               1.0 + etai[ki] * kh_c[k + 1])
+                rhk = rhk + jnp.where(l_snow, 0.0, etai[ki] * fcondtopn)
+            if ki == nilyr - 1:
+                rhk = rhk + etai[ki] * kh_c[k + 1] * Tbot
+                spk = zero
+            sb.append(sbk), d.append(dk), sp.append(spk), rhs.append(rhk)
+
+        x = _tridiag(sb, d, sp, rhs)
+
+        Tsn_new = jnp.stack([jnp.where(l_snow, x[k + 1], 0.0)
+                             for k in range(nslyr)])
+        if p.l_brine:
+            Tsn_new = jnp.minimum(Tsn_new, 0.0)
+        qsn_new = qsn_of_tsn(Tsn_new)
+
+        # condition 2b: oscillating top ice temperature
+        Ti1_raw = x[nslyr + 1]
+        dTi1 = Ti1_raw - carry["Ti1_prev"]
+        osc = ((carry["niter"] > 0)
+               & (jnp.abs(dTi1) > cn.puny)
+               & (jnp.abs(carry["dTi1_prev"]) > cn.puny)
+               & (-dTi1 / (carry["dTi1_prev"] + cn.puny**2) > 0.5))
+        avg_Tsi = jnp.where(osc & p.l_brine, 1.0, 0.0)
+        dTi1 = jnp.where(osc, 0.5 * dTi1, dTi1)
+        newly_unconv = osc
+
+        Tin_new, dqmat, reduce_kh = [], [], []
+        for ki in range(nilyr):
+            t = x[nslyr + 1 + ki]
+            tm = tmlt[ki, 0, 0] if tmlt.ndim == 3 else tmlt[ki]
+            if p.l_brine:
+                over = t > (tm - cn.puny)
+                dT = jnp.where(over, t - tm, 0.0)
+                dq = jnp.where(over,
+                               cn.rhoi * dT * (cn.cp_ice - cn.Lfresh * tm
+                                               / jnp.minimum(t,
+                                                             -cn.puny)**2),
+                               0.0)
+                t = jnp.where(over, tm, t)
+                reduce_kh.append(over)
+                dqmat.append(dq)
+            else:
+                reduce_kh.append(jnp.zeros_like(t, bool))
+                dqmat.append(zero)
+            t = t + avg_Tsi * 0.5 * (Tin_c[ki] - t)
+            Tin_new.append(t)
+        Tin_new = jnp.stack(Tin_new)
+        dqmat = jnp.stack(dqmat)
+        reduce_kh = jnp.stack(reduce_kh)
+        qin_new = qin_of_tin(p, Tin_new, tmlt)
+
+        enew = jnp.sum(hslyr[None] * qsn_new, 0) \
+            + jnp.sum(hilyr[None] * (qin_new - dqmat), 0)
+
+        # condition 5: energy conservation with prescribed fcondtopn
+        fcondbot = kh_c[nslyr + nilyr] * (Tin_new[nilyr - 1] - Tbot)
+        ferr = jnp.abs((enew - einit) / dt
+                       - (fcondtopn - fcondbot + fswint))
+        eps = jnp.finfo(ferr.dtype).eps
+        ferrmax_eff = jnp.maximum(ferrmax, 8.0 * eps * jnp.abs(einit) / dt)
+        bad_e = ferr > 0.9 * ferrmax_eff
+        newly_unconv = newly_unconv | bad_e
+
+        kh_new = kh_c
+        denom = jnp.maximum(jnp.abs(fcondtopn - fcondbot), cn.puny)
+        fracr = jnp.maximum(0.5 * (1.0 - ferr / denom), 0.1)
+        for ki in range(nilyr):
+            sel = bad_e & reduce_kh[ki] & (dqmat[ki] > 0.0)
+            new_below = jnp.where(sel, kh_new[ki + nslyr + 1] * fracr,
+                                  kh_new[ki + nslyr + 1])
+            new_above = jnp.where(sel, new_below * fracr,
+                                  kh_new[ki + nslyr])
+            kh_new = kh_new.at[ki + nslyr + 1].set(new_below)
+            kh_new = kh_new.at[ki + nslyr].set(new_above)
+
+        def mrg(new, old):
+            m = active
+            if new.ndim == old.ndim and new.ndim == 3:
+                m = active[None]
+            return jnp.where(m, new, old)
+
+        out = dict(carry)
+        out["Tsn"] = mrg(Tsn_new, carry["Tsn"])
+        out["Tin"] = mrg(Tin_new, carry["Tin"])
+        out["qsn"] = mrg(qsn_new, carry["qsn"])
+        out["qin"] = mrg(qin_new, carry["qin"])
+        out["kh"] = jnp.where(active[None], kh_new, carry["kh"])
+        out["Ti1_prev"] = jnp.where(active, Ti1_raw, carry["Ti1_prev"])
+        out["dTi1_prev"] = jnp.where(active, dTi1, carry["dTi1_prev"])
+        out["fcondbot"] = mrg(fcondbot, carry["fcondbot"])
+        out["converged"] = jnp.where(active, ~newly_unconv,
+                                     carry["converged"])
+        out["all_conv"] = jnp.all(out["converged"] | ~has_ice)
+        out["niter"] = carry["niter"] + 1
+        return out
+
+    carry0 = dict(
+        Tsn=Tsn, Tin=Tin, qsn=qsn, qin=qin, kh=kh,
+        Ti1_prev=Tin[0], dTi1_prev=zero,
+        converged=jnp.zeros_like(has_ice), fcondbot=zero,
+        all_conv=jnp.asarray(False), niter=jnp.asarray(0),
+    )
+    res = jax.lax.while_loop(
+        lambda c: (~c["all_conv"]) & (c["niter"] < nitermax), body, carry0)
+
+    return dict(
+        Tsn=res["Tsn"], Tin=res["Tin"], qsn=res["qsn"], qin=res["qin"],
+        fcondbot=res["fcondbot"], fswabsn=fswabsn,
+        fswsfc=fswsfc, fswint=fswint, Sswabs=Sswabs, Iswabs=Iswabs,
+        converged=res["converged"], niter=res["niter"],
+    )
+
+
+def explicit_calc_tsfc(p: ThermoParams, dt, aicen, vicen, vsnon, tsfcn,
+                       eicen, esnon, rhoa, flw, potT, Qa, shcoef, lhcoef,
+                       fswsfcn):
+    """Explicit (one-Newton-step) surface temperature and fluxes for
+    the ``calc_Tsfc=F`` ice-only mode
+    (``drivers/cice4/CICE_RunMod.F90 explicit_calc_Tsfc:1014-1257``).
+
+    Returns dict(Tsf, flwoutn, fsensn, flatn, fsurfn, fcondtopn) —
+    used as the prescribed fluxes when no coupler supplies them.
+    """
+    has_ice = aicen > cn.puny
+    a_safe = jnp.maximum(aicen, cn.puny)
+    hslyr = vsnon / a_safe / p.nslyr
+    l_snow = (hslyr * p.nslyr > hs_min) & has_ice
+
+    # temperature of the top layer (snow if present, else top ice)
+    vs_safe = jnp.maximum(vsnon, cn.puny)
+    qsn0 = esnon[0] * p.nslyr / vs_safe
+    Tis_snow = jnp.minimum((cn.Lfresh + qsn0 / cn.rhos) / cn.cp_ice, 0.0)
+
+    vi_safe = jnp.maximum(vicen, cn.puny)
+    qin0 = eicen[0] * p.nilyr / vi_safe
+    tmlt0 = p.tmlt[0]
+    if p.l_brine:
+        Tis_ice = jnp.minimum(tin_from_qin(p, qin0, tmlt0), tmlt0)
+        ci = cn.cp_ice - cn.Lfresh * tmlt0 / \
+            jnp.minimum(Tis_ice, -cn.puny) ** 2
+    else:
+        Tis_ice = jnp.minimum((cn.Lfresh + qin0 / cn.rhoi) / cn.cp_ice, 0.0)
+        ci = jnp.full_like(Tis_ice, cn.cp_ice)
+    Tis = jnp.where(l_snow, Tis_snow, Tis_ice)
+
+    # conductivity/thickness of top layer, CFL-limited
+    hilyr = vicen / a_safe / p.nilyr
+    kilyr = jnp.maximum(cn.kice + betak * p.salin[0]
+                        / jnp.minimum(-cn.puny, Tis_ice), kimin)
+    khis = jnp.where(l_snow,
+                     2.0 * cn.ksno / jnp.maximum(hslyr, cn.puny),
+                     2.0 * kilyr / jnp.maximum(hilyr, cn.puny))
+    khmax = jnp.where(l_snow, cn.rhos * cn.cp_ice * hslyr / dt,
+                      cn.rhoi * ci * hilyr / dt)
+    khis = jnp.minimum(khis, khmax)
+
+    Tsf = tsfcn
+    sf = _surface_fluxes(Tsf, fswsfcn, rhoa, flw, potT, Qa, shcoef, lhcoef)
+    dTsf = (sf["fsurfn"] - khis * (Tsf - Tis)) \
+        / (khis - sf["dfsurf_dT"])
+    Tsf = Tsf + dTsf
+    over = Tsf > 0.0
+    dTsf = jnp.where(over, dTsf - Tsf, dTsf)
+    Tsf = jnp.where(over, 0.0, Tsf)
+
+    def z(x):
+        return jnp.where(has_ice, x, 0.0)
+
+    return dict(
+        Tsf=jnp.where(has_ice, Tsf, tsfcn),
+        flwoutn=z(sf["flwoutn"] + dTsf * sf["dflwout_dT"]),
+        fsensn=z(sf["fsensn"] + dTsf * sf["dfsens_dT"]),
+        flatn=z(sf["flatn"] + dTsf * sf["dflat_dT"]),
+        fsurfn=z(sf["fsurfn"] + dTsf * sf["dfsurf_dT"]),
+        fcondtopn=z(khis * (Tsf - Tis)),
+    )
+
+
 def zerolayer_temperature(p: ThermoParams, dt, has_ice,
                           rhoa, flw, potT, Qa, shcoef, lhcoef,
                           fswsfc, fswthru, hilyr, hslyr, Tsf, Tbot):
@@ -775,13 +1021,20 @@ def thermo_vertical_category(p: ThermoParams, dt, aicen, vicen, vsnon,
                              tsfcn, eicen, esnon,
                              flw, potT, Qa, rhoa, fsnow,
                              fbot, Tbot, Tf, lhcoef, shcoef,
-                             fswsfc, fswint, fswthrun, Sswabs, Iswabs):
+                             fswsfc, fswint, fswthrun, Sswabs, Iswabs,
+                             fsurfn_pre=None, fcondtopn_pre=None,
+                             flatn_pre=None):
     """Full per-category vertical thermo driver
     (``thermo_vertical:108-515``).
 
     Returns (new category state dict, flux/diagnostic dict).  All
     fluxes are per unit ice area; the caller applies aicen weighting
     via merge_fluxes.
+
+    When ``p.calc_Tsfc`` is False the surface fluxes come from the
+    coupler: ``fsurfn_pre/fcondtopn_pre/flatn_pre`` are required and
+    the temperature solve uses the prescribed-flux boundary condition
+    (``thermo_vertical:321-421`` calc_Tsfc branches).
     """
     nilyr, nslyr = p.nilyr, p.nslyr
     has_ice = aicen > cn.puny
@@ -815,7 +1068,39 @@ def thermo_vertical_category(p: ThermoParams, dt, aicen, vicen, vsnon,
     hin0, hsn0 = hin, hsn
 
     # --- temperature solve -------------------------------------------------
-    if p.heat_capacity:
+    if not p.calc_Tsfc:
+        if fsurfn_pre is None or fcondtopn_pre is None or flatn_pre is None:
+            raise ValueError("calc_Tsfc=False requires prescribed "
+                             "fsurfn/fcondtopn/flatn")
+        zeros = jnp.zeros_like(Tsf)
+        if p.heat_capacity:
+            kt = temperature_changes_know_tsfc(
+                p, dt, has_ice, fcondtopn_pre, fswsfc, fswint, fswthrun,
+                Sswabs, Iswabs, hilyr, hslyr, qin, Tin, qsn, Tsn, Tbot,
+                einit)
+            tc = dict(Tsf=Tsf, Tsn=kt["Tsn"], Tin=kt["Tin"],
+                      qsn=kt["qsn"], qin=kt["qin"],
+                      fcondbot=kt["fcondbot"],
+                      fswabsn=kt["fswabsn"], fswsfc=kt["fswsfc"],
+                      fswint=kt["fswint"], Sswabs=kt["Sswabs"],
+                      Iswabs=kt["Iswabs"], converged=kt["converged"],
+                      niter=kt["niter"])
+        else:
+            # zero layer: fcondbot = fcondtopn (thermo_vertical:409-418)
+            tc = dict(Tsf=Tsf, Tsn=Tsn, Tin=Tin, qsn=qsn, qin=qin,
+                      fcondbot=jnp.where(has_ice, fcondtopn_pre, 0.0),
+                      fswabsn=fswsfc + fswthrun, fswsfc=fswsfc,
+                      fswint=jnp.zeros_like(fswsfc), Sswabs=Sswabs,
+                      Iswabs=Iswabs, converged=jnp.ones_like(has_ice),
+                      niter=jnp.asarray(0))
+        tc["fsurfn"] = jnp.where(has_ice, fsurfn_pre, 0.0)
+        tc["fcondtopn"] = jnp.where(has_ice, fcondtopn_pre, 0.0)
+        tc["flatn"] = jnp.where(has_ice, flatn_pre, 0.0)
+        # radiative/turbulent components belong to the coupler in this
+        # mode (driver merges the coupler's own values); zero here
+        tc["fsensn"] = zeros
+        tc["flwoutn"] = zeros
+    elif p.heat_capacity:
         tc = temperature_changes(p, dt, has_ice, rhoa, flw, potT, Qa,
                                  shcoef, lhcoef, fswsfc, fswint, fswthrun,
                                  Sswabs, Iswabs, hilyr, hslyr, qin, Tin,

@@ -131,3 +131,88 @@ def test_snowfall_added(tp):
             - fo["fsnow"] * cn.Lfresh) * dt
     err = np.asarray(jnp.abs(flux["efinal"] - flux["einit"] - einp)) / dt
     assert err.max() < 1.1 * tv.ferrmax
+
+
+def test_know_tsfc_matches_calc_tsfc(tp):
+    """Prescribing the converged calc_Tsfc=T surface fluxes to the
+    calc_Tsfc=F solve (know_Tsfc boundary condition) must reproduce
+    the same internal temperatures — the two matrix assemblies agree
+    when given a consistent top boundary condition."""
+    import dataclasses
+    p, itd = tp
+    stv, fo = _column_inputs(tp, Tair=245.0)
+    out_t, flux_t = _run(p, stv, fo)
+
+    pf = dataclasses.replace(p, calc_Tsfc=False)
+    dt = 3600.0
+    fn = jax.jit(lambda s, fo2, fs, fc, fl: tv.thermo_vertical_category(
+        pf, dt, s["aicen"], s["vicen"], s["vsnon"], s["tsfcn"],
+        s["eicen"], s["esnon"], fo2["flw"], fo2["potT"], fo2["Qa"],
+        fo2["rhoa"], fo2["fsnow"], fo2["fbot"], fo2["Tbot"], fo2["Tf"],
+        fo2["lhcoef"], fo2["shcoef"], fo2["fswsfc"], fo2["fswint"],
+        fo2["fswthrun"], fo2["Sswabs"], fo2["Iswabs"],
+        fsurfn_pre=fs, fcondtopn_pre=fc, flatn_pre=fl))
+    out_f, flux_f = fn(stv, fo, flux_t["fsurfn"], flux_t["fcondtopn"],
+                       flux_t["flatn"])
+    # ice/snow state evolves the same way under the equivalent boundary
+    # condition (tolerances loose: T-solve iterates on Tsf, F-solve
+    # holds the flux fixed — identical only at exact convergence)
+    np.testing.assert_allclose(np.asarray(out_f["vicen"]),
+                               np.asarray(out_t["vicen"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_f["eicen"]),
+                               np.asarray(out_t["eicen"]),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(flux_f["fhocnn"]),
+                               np.asarray(flux_t["fhocnn"]),
+                               rtol=0, atol=0.5)
+    # surface temperature is NOT solved in the prescribed mode
+    np.testing.assert_allclose(np.asarray(out_f["tsfcn"]),
+                               np.asarray(stv["tsfcn"]), atol=1e-12)
+
+
+def test_explicit_calc_tsfc(tp):
+    """Explicit surface scheme: cold air drives Tsf below freezing and
+    the returned fluxes satisfy fsurfn ~= fcondtopn at the solution
+    (the scheme solves fsurf - kh (Tsf - Tis) = 0 by one Newton step)."""
+    p, itd = tp
+    stv, fo = _column_inputs(tp, Tair=245.0)
+    ex = jax.jit(lambda s: tv.explicit_calc_tsfc(
+        p, 3600.0, s["aicen"], s["vicen"], s["vsnon"], s["tsfcn"],
+        s["eicen"], s["esnon"], fo["rhoa"], fo["flw"], fo["potT"],
+        fo["Qa"], fo["shcoef"], fo["lhcoef"], fo["fswsfc"]))(stv)
+    Tsf = np.asarray(ex["Tsf"])
+    assert (Tsf < 0.0).all() and (Tsf > -60.0).all()
+    # Newton step lands close to the surface balance
+    resid = np.asarray(jnp.abs(ex["fsurfn"] - ex["fcondtopn"]))
+    assert resid.max() < 5.0  # W/m^2
+
+
+def test_full_step_calc_tsfc_false():
+    """Full model step in the ice-only calc_Tsfc=F mode stays finite
+    and bounded (explicit surface scheme supplies the fluxes)."""
+    from cice4_tpu.config import (Config, DomainConfig, DynamicsConfig,
+                                  GridConfig, ThermoConfig,
+                                  TransportConfig)
+    from cice4_tpu.forcing import default_forcing
+    from cice4_tpu.grid import make_grid
+    from cice4_tpu.model import Model, ice_step
+    from cice4_tpu.state import init_state
+
+    cfg = Config(
+        domain=DomainConfig(nx_global=16, ny_global=16),
+        grid=GridConfig(grid_type="rectangular", lat_origin=66.0),
+        dynamics=DynamicsConfig(ndte=10),
+        transport=TransportConfig(advection="upwind"),
+        thermo=ThermoConfig(calc_Tsfc=False),
+    )
+    grid = make_grid(cfg, dtype=jnp.float64)
+    model = Model.create(cfg)
+    state = init_state(cfg, grid, model.itd, dtype=jnp.float64)
+    f = default_forcing(grid.ny, grid.nx, jnp.float64)
+    s, fluxes = jax.jit(lambda s: ice_step(model, s, grid, f, 80.0, 0.0)
+                        )(state)
+    a = np.asarray(jnp.sum(s.aicen, 0))
+    assert np.isfinite(np.asarray(s.vicen)).all()
+    assert np.isfinite(a).all() and a.max() <= 1.0 + 1e-9
+    assert np.isfinite(np.asarray(s.tsfcn)).all()
