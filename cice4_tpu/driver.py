@@ -85,7 +85,7 @@ class IceModelRun:
             self.history = History(
                 grid, histfreq=cfg.run.histfreq,
                 histfreq_n=cfg.run.histfreq_n, avg=cfg.run.hist_avg,
-                directory=cfg.run.history_dir)
+                directory=cfg.run.history_dir, itd=model.itd)
         return self
 
     # -- run ----------------------------------------------------------------

@@ -34,19 +34,29 @@ class HistField:
     name: str
     units: str
     long_name: str
-    extract: Callable          # (state, fluxes, agg) -> (ny, nx) array
+    extract: Callable          # (state, fluxes, agg) -> array
     cell_measure: str = "area: tarea"
     frequency: str = "m"       # y/m/d/h/1/x per stream
+    # field class (ice_history.F90:87-115): "2D" (ny, nx), "3Dc"
+    # (ncat, ny, nx), "4Di" (nilyr, ncat, ny, nx), "4Ds" (nslyr, ...)
+    dims: str = "2D"
 
 
 def _flux(name, scale=1.0):
     return lambda s, fx, agg: fx[name] * scale if name in fx else None
 
 
-def default_fields() -> dict[str, HistField]:
-    """The standard 2D field set (cf. `init_hist:417-1367`)."""
+def default_fields(itd=None) -> dict[str, HistField]:
+    """The standard field set (cf. `init_hist:417-1367`): 2D fields
+    plus per-category (3Dc) and vertical-profile (4Di/4Ds) classes.
+
+    itd: optional ItdParams; provides the fixed salinity profile's
+    melting temperatures for the Tinz enthalpy inversion (fresh-ice
+    inversion when absent).
+    """
     F = HistField
     mps_to_cmpdy = cn.mps_to_cmpdy
+    tmlt = tuple(itd.tmlt) if itd is not None else None
     fields = [
         F("aice", "1", "ice area (aggregate)",
           lambda s, fx, agg: agg["aice"]),
@@ -127,8 +137,63 @@ def default_fields() -> dict[str, HistField]:
           _flux("fcondtop")),
         F("icepresent", "1", "fraction of time-avg with ice",
           lambda s, fx, agg: (agg["aice"] > cn.puny).astype(s.sst.dtype)),
+        # --- per-category (3Dc) fields (`init_hist` icefields_nml
+        # f_aicen/f_vicen/f_fsurfn_ai/... toggles) --------------------------
+        F("aicen", "1", "ice area, categories",
+          lambda s, fx, agg: s.aicen, dims="3Dc"),
+        F("vicen", "m", "ice volume, categories",
+          lambda s, fx, agg: s.vicen, dims="3Dc"),
+        F("vsnon", "m", "snow volume, categories",
+          lambda s, fx, agg: s.vsnon, dims="3Dc"),
+        F("Tsfcn", "C", "surface temperature, categories",
+          lambda s, fx, agg: s.tsfcn, dims="3Dc"),
+        F("fsurfn_ai", "W/m^2", "net surface heat flux, categories",
+          _flux("fsurfn_ai"), dims="3Dc"),
+        F("fcondtopn_ai", "W/m^2", "top conductive flux, categories",
+          _flux("fcondtopn_ai"), dims="3Dc"),
+        F("flatn_ai", "W/m^2", "latent heat flux, categories",
+          _flux("flatn_ai"), dims="3Dc"),
+        # --- vertical profiles (4Di/4Ds): internal temperatures ------------
+        F("Tinz", "C", "internal ice temperature, layers x categories",
+          lambda s, fx, agg: _extract_tinz(s, tmlt), dims="4Di"),
+        F("Tsnz", "C", "internal snow temperature, layers x categories",
+          lambda s, fx, agg: _extract_tsnz(s), dims="4Ds"),
     ]
     return {f.name: f for f in fields}
+
+
+def _extract_tinz(s, tmlt):
+    """Layer ice temperature from enthalpy (cf. `ice_history` Tinz via
+    `calculate_Tin_from_qin`); spval where no ice.  Shape
+    (nilyr, ncat, ny, nx)."""
+    from cice4_tpu.ops.therm_vertical import tin_from_qin
+    nilyr = s.eicen.shape[1]
+    v = jnp.maximum(s.vicen, cn.puny)[:, None]
+    qin = s.eicen * nilyr / v                  # (ncat, nilyr, ny, nx)
+    has = (s.vicen > cn.puny)[:, None]
+    if tmlt is not None:
+        tmlt_k = jnp.asarray(tmlt)[:nilyr][None, :, None, None]
+
+        class _P:
+            l_brine = True
+        tin = tin_from_qin(_P, qin, tmlt_k)
+    else:
+
+        class _P:
+            l_brine = False
+        tin = tin_from_qin(_P, qin, 0.0)
+    tin = jnp.where(has, tin, cn.spval)
+    return jnp.swapaxes(tin, 0, 1)             # (nilyr, ncat, ny, nx)
+
+
+def _extract_tsnz(s):
+    nslyr = s.esnon.shape[1]
+    v = jnp.maximum(s.vsnon, cn.puny)[:, None]
+    qsn = s.esnon * nslyr / v
+    tsn = (cn.Lfresh + qsn / cn.rhos) / cn.cp_ice
+    has = (s.vsnon > cn.puny)[:, None]
+    return jnp.swapaxes(jnp.where(has, jnp.minimum(tsn, 0.0), cn.spval),
+                        0, 1)
 
 
 class HistoryStream:
@@ -167,10 +232,26 @@ class HistoryStream:
         os.makedirs(self.dir, exist_ok=True)
         path = os.path.join(self.dir, f"{self.prefix}.{idate}.nc")
         g = self.grid
+        # extra dimensions needed by registered 3Dc/4D fields
+        ncat = nkice = nksnow = None
+        for name, total in self.sums.items():
+            d = self.fields[name].dims
+            if d == "3Dc":
+                ncat = total.shape[0]
+            elif d == "4Di":
+                nkice, ncat = total.shape[0], total.shape[1]
+            elif d == "4Ds":
+                nksnow, ncat = total.shape[0], total.shape[1]
         with netcdf_file(path, "w") as nc:
             nc.createDimension("time", 1)
             nc.createDimension("nj", g.ny)
             nc.createDimension("ni", g.nx)
+            if ncat is not None:
+                nc.createDimension("nc", ncat)
+            if nkice is not None:
+                nc.createDimension("nkice", nkice)
+            if nksnow is not None:
+                nc.createDimension("nksnow", nksnow)
             tvar = nc.createVariable("time", "d", ("time",))
             tvar[:] = [time_days]
             tvar.units = b"days since 0001-01-01 00:00:00"
@@ -188,9 +269,13 @@ class HistoryStream:
                 v.long_name = lname.encode()
             norm = 1.0 / self.count if self.avg else 1.0
             land = ~np.asarray(g.tmask)
+            dims_of = {"2D": ("time", "nj", "ni"),
+                       "3Dc": ("time", "nc", "nj", "ni"),
+                       "4Di": ("time", "nkice", "nc", "nj", "ni"),
+                       "4Ds": ("time", "nksnow", "nc", "nj", "ni")}
             for name, total in self.sums.items():
                 f = self.fields[name]
-                v = nc.createVariable(name, "f", ("time", "nj", "ni"))
+                v = nc.createVariable(name, "f", dims_of[f.dims])
                 data = np.asarray(jax.device_get(total)) * norm
                 data = np.where(land, cn.spval, data).astype(np.float32)
                 v[:] = data[None]
@@ -208,8 +293,8 @@ class History:
 
     def __init__(self, grid: Grid, histfreq=("m",), histfreq_n=(1,),
                  avg=True, directory="./history", prefix="iceh",
-                 fields=None):
-        fields = fields or default_fields()
+                 fields=None, itd=None):
+        fields = fields or default_fields(itd)
         self.streams = []
         for k, freq in enumerate(histfreq):
             if freq == "x":

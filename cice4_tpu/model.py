@@ -207,6 +207,12 @@ def _step_therm1(model: Model, state: State, grid: Grid, f: Forcing,
         merged[name] = jnp.sum(src * w, axis=0)
     merged["rside"] = rside
     merged["fbot"] = fbot
+    # per-category grid-cell-mean fluxes for the 3Dc history fields
+    # (ice_history.F90 f_fsurfn_ai etc.; "_ai" = times category area)
+    for name, per_ice in [("fsurfn_ai", "fsurfn"),
+                          ("fcondtopn_ai", "fcondtopn"),
+                          ("flatn_ai", "flatn")]:
+        merged[name] = fx[per_ice] * w
     return state, merged, dict(aicen_init=aicen_init,
                                vicen_init=vicen_init)
 

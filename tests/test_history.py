@@ -1,0 +1,89 @@
+"""History output: accumulation, multi-dim field classes, netCDF
+round-trip (``ice_history.F90`` registry/accumulate/icecdf analogue)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cice4_tpu import constants as cn
+from cice4_tpu.config import Config, DomainConfig, DynamicsConfig, \
+    GridConfig, TransportConfig
+from cice4_tpu.forcing import default_forcing
+from cice4_tpu.grid import make_grid
+from cice4_tpu.io.history import History, default_fields
+from cice4_tpu.model import Model, ice_step
+from cice4_tpu.state import init_state
+
+
+@pytest.fixture(scope="module")
+def run_two_steps():
+    cfg = Config(
+        domain=DomainConfig(nx_global=16, ny_global=16),
+        grid=GridConfig(grid_type="rectangular", lat_origin=66.0),
+        dynamics=DynamicsConfig(ndte=10),
+        transport=TransportConfig(advection="upwind"),
+    )
+    grid = make_grid(cfg, dtype=jnp.float64)
+    model = Model.create(cfg)
+    state = init_state(cfg, grid, model.itd, dtype=jnp.float64)
+    f = default_forcing(grid.ny, grid.nx, jnp.float64)
+    step = jax.jit(lambda s: ice_step(model, s, grid, f, 80.0, 0.0))
+    outs = []
+    for _ in range(2):
+        state, fluxes = step(state)
+        outs.append((state, fluxes))
+    return cfg, grid, model, outs
+
+
+def test_multidim_fields_shapes(run_two_steps):
+    cfg, grid, model, outs = run_two_steps
+    fields = default_fields(model.itd)
+    s, fx = outs[-1]
+    from cice4_tpu.ops.itd import aggregate
+    agg = aggregate(s, grid.tmask)
+    ncat, nilyr = model.itd.ncat, model.itd.nilyr
+    assert fields["aicen"].extract(s, fx, agg).shape == \
+        (ncat, grid.ny, grid.nx)
+    assert fields["fsurfn_ai"].extract(s, fx, agg).shape == \
+        (ncat, grid.ny, grid.nx)
+    tinz = fields["Tinz"].extract(s, fx, agg)
+    assert tinz.shape == (nilyr, ncat, grid.ny, grid.nx)
+    # where there is ice, internal temps are physical (< 0, > -60)
+    has = np.asarray(s.vicen > cn.puny)
+    t = np.asarray(tinz)
+    sel = np.broadcast_to(has[None], t.shape)
+    assert (t[sel] < 1e-6).all() and (t[sel] > -60.0).all()
+
+
+def test_netcdf_roundtrip(run_two_steps, tmp_path_factory):
+    cfg, grid, model, outs = run_two_steps
+    d = str(tmp_path_factory.mktemp("hist"))
+    hist = History(grid, histfreq=("d",), histfreq_n=(1,),
+                   directory=d, itd=model.itd)
+    for s, fx in outs:
+        hist.accumulate(s, fx)
+    stream = hist.streams[0]
+    assert stream.count == 2
+    path = stream.write(19970101, 1.0)
+    assert path and os.path.exists(path)
+
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "r") as nc:
+        aice = nc.variables["aice"][:]
+        aicen = nc.variables["aicen"][:]
+        tinz = nc.variables["Tinz"][:]
+        assert aice.shape == (1, grid.ny, grid.nx)
+        assert aicen.shape == (1, model.itd.ncat, grid.ny, grid.nx)
+        assert tinz.shape == (1, model.itd.nilyr, model.itd.ncat,
+                              grid.ny, grid.nx)
+        # time-average of the 2 steps on ocean points
+        ocean = np.asarray(grid.tmask)
+        expect = 0.5 * (np.asarray(jnp.sum(outs[0][0].aicen, 0))
+                        + np.asarray(jnp.sum(outs[1][0].aicen, 0)))
+        np.testing.assert_allclose(aice[0][ocean], expect[ocean],
+                                   rtol=1e-6, atol=1e-6)
+    # accumulators reset after write
+    assert stream.count == 0 and not stream.sums
