@@ -76,6 +76,10 @@ class DynamicsConfig:
     Cstar: float = 20.0           # Hibler79 strength decay constant
     Cf: float = 17.0              # ratio of ridging work to PE change
     Cp: float = 0.5 * 9.80616 * (1026.0 - 917.0) * 917.0 / 1026.0  # PE coefficient
+    # TPU execution strategy: fuse the whole ndte-subcycle loop into one
+    # Pallas kernel with the working set resident in VMEM (single-chip,
+    # non-tripole only; jnp fallback otherwise)
+    use_pallas: bool = True
 
 
 @dataclass(frozen=True)

@@ -88,6 +88,22 @@ puny = eps11
 bignum = 1.0e30
 spval = 1.0e30        # missing-data marker for output
 
+
+def a_negligible(dtype) -> float:
+    """Area fraction below which a category is numerically meaningless.
+
+    The reference (all float64) uses ``puny`` = 1e-11 everywhere
+    (``ice_itd.F90 zap_small_areas:1844``).  In float32 a category with
+    aicen ~ 1e-11 carries volume/energy ratios that are pure roundoff
+    noise (7 significant digits cannot keep eicen/vicen/aicen mutually
+    consistent at that scale), which makes the energy-conserving Newton
+    solve in `temperature_changes` unconvergeable.  Physically such a
+    cell holds < 1 mm^2 of ice per km^2 — zapping it to open water is
+    exact to within f32 roundoff.  f64 keeps the reference threshold.
+    """
+    import numpy as _np
+    return puny if _np.dtype(dtype).itemsize >= 8 else 1.0e-8
+
 # ---------------------------------------------------------------------------
 # conversion factors
 # ---------------------------------------------------------------------------

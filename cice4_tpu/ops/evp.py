@@ -89,29 +89,58 @@ def make_evp_params(dyn: DynamicsConfig, dt: float) -> EvpParams:
     )
 
 
-def _corner_velocities(grid: Grid, uvel, vvel):
+class JnpNbr:
+    """Neighbor-shift provider over the halo module (global jnp arrays).
+
+    The EVP math below is written against this tiny interface so that
+    the same code runs (a) as plain jnp with GSPMD-friendly global
+    shifts and (b) inside the fused Pallas subcycle kernel
+    (`evp_pallas.KernelNbr`), which implements the shifts as in-VMEM
+    rolls.  loc/ftype only matter for tripole folds (jnp path only).
+    """
+
+    def __init__(self, bc):
+        self.bc = bc
+
+    def w(self, f, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
+        return h.nbr_w(f, self.bc, loc, ftype)
+
+    def e(self, f, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
+        return h.nbr_e(f, self.bc, loc, ftype)
+
+    def n(self, f, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
+        return h.nbr_n(f, self.bc, loc, ftype)
+
+    def s(self, f, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
+        return h.nbr_s(f, self.bc, loc, ftype)
+
+    def ne(self, f, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
+        return h.nbr_ne(f, self.bc, loc, ftype)
+
+
+def _corner_velocities(nbr, uvel, vvel):
     """Velocities at the 4 U corners of every T cell plus the helper
     shifts used by the strain-rate stencil."""
-    bc = grid.bc
     kw = dict(loc=FieldLoc.NE_CORNER, ftype=FieldType.VECTOR)
-    u_w = h.nbr_w(uvel, bc, **kw)
-    u_s = h.nbr_s(uvel, bc, **kw)
-    u_sw = h.nbr_s(u_w, bc, **kw)
-    v_w = h.nbr_w(vvel, bc, **kw)
-    v_s = h.nbr_s(vvel, bc, **kw)
-    v_sw = h.nbr_s(v_w, bc, **kw)
+    u_w = nbr.w(uvel, **kw)
+    u_s = nbr.s(uvel, **kw)
+    u_sw = nbr.s(u_w, **kw)
+    v_w = nbr.w(vvel, **kw)
+    v_s = nbr.s(vvel, **kw)
+    v_sw = nbr.s(v_w, **kw)
     return (uvel, u_w, u_s, u_sw, vvel, v_w, v_s, v_sw)
 
 
-def _strain_rates(grid: Grid, uvel, vvel):
+def _strain_rates(geom, nbr, uvel, vvel):
     """Corner strain rates * area (m^2/s) (``ice_dyn_evp.F90:1065-1092``).
 
     Returns (div, ten, shr) each of shape (4, ny, nx), corners (ne, nw,
-    sw, se).
+    sw, se).  `geom` is any namespace carrying the stencil coefficient
+    fields (the Grid object, or the kernel-local view inside Pallas).
     """
-    u, u_w, u_s, u_sw, v, v_w, v_s, v_sw = _corner_velocities(grid, uvel, vvel)
-    cyp, cxp, cym, cxm = grid.cyp, grid.cxp, grid.cym, grid.cxm
-    dxt, dyt = grid.dxt, grid.dyt
+    u, u_w, u_s, u_sw, v, v_w, v_s, v_sw = _corner_velocities(nbr, uvel, vvel)
+    cyp, cxp, cym, cxm = geom.cyp, geom.cxp, geom.cym, geom.cxm
+    dxt, dyt = geom.dxt, geom.dyt
 
     divne = cyp * u - dyt * u_w + cxp * v - dxt * v_s
     divnw = cym * u_w + dyt * u + cxp * v_w - dxt * v_sw
@@ -134,7 +163,7 @@ def _strain_rates(grid: Grid, uvel, vvel):
     return div, ten, shr
 
 
-def _stress_update(p: EvpParams, grid: Grid, strength, tmask_ice,
+def _stress_update(p: EvpParams, geom, nbr, strength, tmask_ice,
                    uvel, vvel, stressp, stressm, stress12):
     """One `stress` call (``ice_dyn_evp.F90:947-1293``): update the 12
     corner stresses and assemble the 8 momentum flux combinations.
@@ -142,15 +171,15 @@ def _stress_update(p: EvpParams, grid: Grid, strength, tmask_ice,
     Returns (stressp, stressm, stress12, str8, diag) where str8 is
     (8, ny, nx) and diag carries strain invariants for ridging.
     """
-    div, ten, shr = _strain_rates(grid, uvel, vvel)
+    div, ten, shr = _strain_rates(geom, nbr, uvel, vvel)
     delta = jnp.sqrt(div**2 + p.ecci * (ten**2 + shr**2))
 
     if p.evp_damping:
-        floor = 4.0 * grid.tinyarea
+        floor = 4.0 * geom.tinyarea
         c0 = jnp.minimum(strength / jnp.maximum(delta, floor), p.rcon)
         prs_sig = strength * delta[0] / jnp.maximum(delta[0], floor)
     else:
-        c0 = strength / jnp.maximum(delta, grid.tinyarea)
+        c0 = strength / jnp.maximum(delta, geom.tinyarea)
         prs_sig = c0[0] * delta[0]
     c1 = c0 * p.dte2T
 
@@ -163,7 +192,7 @@ def _stress_update(p: EvpParams, grid: Grid, strength, tmask_ice,
     sp1, sp2, sp3, sp4 = stressp
     sm1, sm2, sm3, sm4 = stressm
     s121, s122, s123, s124 = stress12
-    dxt, dyt, dxhy, dyhx = grid.dxt, grid.dyt, grid.dxhy, grid.dyhx
+    dxt, dyt, dxhy, dyhx = geom.dxt, geom.dyt, geom.dxhy, geom.dyhx
 
     # edge sums and corner-weighted combinations (":1196-1289")
     ssigpn = sp1 + sp2
@@ -234,11 +263,10 @@ def _stress_update(p: EvpParams, grid: Grid, strength, tmask_ice,
     return stressp, stressm, stress12, str8, diag
 
 
-def _stepu(p: EvpParams, grid: Grid, iceumask, aiu, str8,
+def _stepu(p: EvpParams, geom, nbr, iceumask, aiu, str8,
            uocn, vocn, waterx, watery, forcex, forcey,
            umassdtei, fm, uvel, vvel):
     """Momentum solve (``ice_dyn_evp.F90 stepu:1302-1443``)."""
-    bc = grid.bc
     vrel = aiu * p.dragw * jnp.sqrt((uocn - uvel) ** 2 + (vocn - vvel) ** 2)
     taux = vrel * waterx
     tauy = vrel * watery
@@ -251,10 +279,10 @@ def _stepu(p: EvpParams, grid: Grid, iceumask, aiu, str8,
     ccb = fm + sgn * vrel * p.sinw
     ab2 = cca**2 + ccb**2
 
-    strintx = grid.uarear * (str8[0] + h.nbr_e(str8[1], bc)
-                             + h.nbr_n(str8[2], bc) + h.nbr_ne(str8[3], bc))
-    strinty = grid.uarear * (str8[4] + h.nbr_n(str8[5], bc)
-                             + h.nbr_e(str8[6], bc) + h.nbr_ne(str8[7], bc))
+    strintx = geom.uarear * (str8[0] + nbr.e(str8[1])
+                             + nbr.n(str8[2]) + nbr.ne(str8[3]))
+    strinty = geom.uarear * (str8[4] + nbr.n(str8[5])
+                             + nbr.e(str8[6]) + nbr.ne(str8[7]))
 
     cc1 = strintx + forcex + taux + umassdtei * uvel
     cc2 = strinty + forcey + tauy + umassdtei * vvel
@@ -268,6 +296,67 @@ def _stepu(p: EvpParams, grid: Grid, iceumask, aiu, str8,
     strocnx = jnp.where(iceumask, taux, 0.0)
     strocny = jnp.where(iceumask, tauy, 0.0)
     return unew, vnew, strintx, strinty, strocnx, strocny
+
+
+def _use_pallas(dyn: DynamicsConfig, grid: Grid) -> bool:
+    """Fused-kernel eligibility: single TPU device, non-tripole fold.
+
+    The Pallas subcycle kernel keeps the whole EVP working set in VMEM
+    for all ndte iterations (zero HBM roundtrips inside the loop).  It
+    supports cyclic/open/closed boundaries; tripole folds and sharded
+    (multi-device) execution fall back to the jnp path, whose global
+    rolls GSPMD turns into ICI collective-permutes.
+    """
+    import os
+    if not dyn.use_pallas or os.environ.get("CICE4_NO_PALLAS"):
+        return False
+    if grid.bc.ns in ("tripole", "tripoleT"):
+        return False
+    try:
+        import jax.extend.backend as _b
+        backend = _b.get_backend().platform
+    except Exception:
+        backend = jax.default_backend()
+    return backend == "tpu" and jax.device_count() == 1
+
+
+def _evp_subcycle_jnp(p: EvpParams, grid: Grid, strength, icetmask,
+                      iceumask, aiu, uocn, vocn, waterx, watery,
+                      forcex, forcey, umassdtei, fm,
+                      uvel, vvel, stressp, stressm, stress12):
+    """ndte subcycles of stress+stepu as a lax.fori_loop over global
+    arrays (``ice_dyn_evp.F90:347-408``).  Returns the updated state
+    plus last-subcycle strain diagnostics for ridging."""
+    nbr = JnpNbr(grid.bc)
+
+    def body(_, carry):
+        uvel, vvel, stressp, stressm, stress12 = carry
+        stressp, stressm, stress12, str8, _d = _stress_update(
+            p, grid, nbr, strength, icetmask, uvel, vvel,
+            stressp, stressm, stress12)
+        uvel, vvel, *_rest = _stepu(
+            p, grid, nbr, iceumask, aiu, str8, uocn, vocn, waterx, watery,
+            forcex, forcey, umassdtei, fm, uvel, vvel)
+        return uvel, vvel, stressp, stressm, stress12
+
+    carry = (uvel, vvel, stressp, stressm, stress12)
+    carry = jax.lax.fori_loop(0, p.ndte - 1, body, carry)
+    uvel, vvel, stressp, stressm, stress12 = carry
+
+    # final subcycle, with ridging diagnostics (":1103-1115")
+    stressp, stressm, stress12, str8, d = _stress_update(
+        p, grid, nbr, strength, icetmask, uvel, vvel,
+        stressp, stressm, stress12)
+    uvel, vvel, strintx, strinty, strocnx, strocny = _stepu(
+        p, grid, nbr, iceumask, aiu, str8, uocn, vocn, waterx, watery,
+        forcex, forcey, umassdtei, fm, uvel, vvel)
+    diag = dict(div_sum=jnp.sum(d["div"], 0),
+                delta_sum=jnp.sum(d["delta"], 0),
+                ten_sum=jnp.sum(d["ten"], 0),
+                shr_sum=jnp.sum(d["shr"], 0),
+                prs_sig=d["prs_sig"])
+    return (uvel, vvel, stressp, stressm, stress12, diag,
+            strintx, strinty, strocnx, strocny)
 
 
 def evp(state: State, grid: Grid, dyn: DynamicsConfig, dt: float,
@@ -338,32 +427,23 @@ def evp(state: State, grid: Grid, dyn: DynamicsConfig, dt: float,
     strength = ice_strength(dyn, aice, vice, aice0, aicen, vicen, icetmask)
 
     # --- subcycling (":347-408") ------------------------------------------
-    def body(_, carry):
-        uvel, vvel, stressp, stressm, stress12 = carry
-        stressp, stressm, stress12, str8, _d = _stress_update(
-            p, grid, strength, icetmask, uvel, vvel,
-            stressp, stressm, stress12)
-        uvel, vvel, *_rest = _stepu(
-            p, grid, iceumask, aiu, str8, uocn, vocn, waterx, watery,
-            forcex, forcey, umassdtei, fm, uvel, vvel)
-        return uvel, vvel, stressp, stressm, stress12
+    subcycle_args = (strength, icetmask, iceumask, aiu, uocn, vocn,
+                     waterx, watery, forcex, forcey, umassdtei, fm,
+                     uvel, vvel, stressp, stressm, stress12)
+    if _use_pallas(dyn, grid):
+        from cice4_tpu.ops.evp_pallas import evp_subcycle_pallas
+        (uvel, vvel, stressp, stressm, stress12, d, strintx, strinty,
+         strocnx, strocny) = evp_subcycle_pallas(p, grid, *subcycle_args)
+    else:
+        (uvel, vvel, stressp, stressm, stress12, d, strintx, strinty,
+         strocnx, strocny) = _evp_subcycle_jnp(p, grid, *subcycle_args)
 
-    carry = (uvel, vvel, stressp, stressm, stress12)
-    carry = jax.lax.fori_loop(0, p.ndte - 1, body, carry)
-    uvel, vvel, stressp, stressm, stress12 = carry
-
-    # final subcycle, with ridging diagnostics (":1103-1115")
-    stressp, stressm, stress12, str8, d = _stress_update(
-        p, grid, strength, icetmask, uvel, vvel, stressp, stressm, stress12)
-    divu = p25 * jnp.sum(d["div"], 0) * grid.tarear
-    delta_mean = p25 * jnp.sum(d["delta"], 0) * grid.tarear
+    divu = p25 * d["div_sum"] * grid.tarear
+    delta_mean = p25 * d["delta_sum"] * grid.tarear
     rdg_conv = -jnp.minimum(divu, 0.0)
     rdg_shear = p5 * (delta_mean - jnp.abs(divu))
     shear = p25 * grid.tarear * jnp.sqrt(
-        jnp.sum(d["ten"], 0) ** 2 + jnp.sum(d["shr"], 0) ** 2)
-    uvel, vvel, strintx, strinty, strocnx, strocny = _stepu(
-        p, grid, iceumask, aiu, str8, uocn, vocn, waterx, watery,
-        forcex, forcey, umassdtei, fm, uvel, vvel)
+        d["ten_sum"] ** 2 + d["shr_sum"] ** 2)
 
     # --- evp_finish (":1452-1549") ----------------------------------------
     vrel = p.dragw * jnp.sqrt((uocn - uvel) ** 2 + (vocn - vvel) ** 2)

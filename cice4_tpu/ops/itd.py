@@ -222,7 +222,10 @@ def zap_small_areas(state: State, tmask, dt) -> tuple[State, dict]:
     eicen, esnon, tsfcn = state.eicen, state.esnon, state.tsfcn
     trcrn = dict(state.trcrn)
 
-    zap = (jnp.abs(aicen) > 0.0) & (jnp.abs(aicen) <= cn.puny) & tmask[None]
+    # dtype-aware threshold: in f32, categories at ~1e-11 area carry
+    # roundoff-inconsistent volume/energy ratios (see cn.a_negligible)
+    a_zap = cn.a_negligible(aicen.dtype)
+    zap = (jnp.abs(aicen) > 0.0) & (jnp.abs(aicen) <= a_zap) & tmask[None]
     dfhocn = jnp.sum(jnp.where(zap[:, None], eicen, 0.0), (0, 1)) / dt
     dfhocn = dfhocn + jnp.sum(jnp.where(zap[:, None], esnon, 0.0), (0, 1)) / dt
     dfresh = jnp.sum(jnp.where(zap, cn.rhoi * vicen + cn.rhos * vsnon, 0.0), 0) / dt
@@ -238,9 +241,10 @@ def zap_small_areas(state: State, tmask, dt) -> tuple[State, dict]:
     for name in trcrn:
         trcrn[name] = jnp.where(zap, 0.0, trcrn[name])
 
-    # normalize excess total area from roundoff (aice in (1, 1+puny])
+    # normalize excess total area from roundoff (reference condition is
+    # simply aice > c1, ice_itd.F90:2040; f32 roundoff excess is ~1e-7)
     aice = jnp.sum(aicen, 0)
-    excess = (aice > 1.0) & (aice < 1.0 + cn.puny)
+    excess = aice > 1.0
     scale = jnp.where(excess, 1.0 / jnp.maximum(aice, cn.puny), 1.0)
     zapfrac = jnp.where(excess, (aice - 1.0) / jnp.maximum(aice, cn.puny), 0.0)
     dfhocn = dfhocn + (jnp.sum(eicen, (0, 1)) + jnp.sum(esnon, (0, 1))) \

@@ -432,15 +432,24 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
         newly_unconv = newly_unconv | ((Tsf_new > -cn.puny)
                                        & (fsurfn_new < fct_new))
         # condition 5: energy conservation.  The reference's fixed
-        # ferrmax (1e-3 W/m^2) assumes float64; in float32 the
-        # (enew - einit)/dt difference carries quantization noise of
-        # order eps * |einit| / dt (~1e-2 W/m^2 for 2 m ice), so the
-        # threshold gets a dtype-adaptive floor — without it the loop
-        # always runs to nitermax in single precision.
+        # ferrmax (1e-3 W/m^2) assumes float64; in float32 the residual
+        #   (enew - einit)/dt - (fcondtop - fcondbot + fswint)
+        # carries quantization noise from every term: the energy sums
+        # (eps*|e|/dt), the conductive fluxes (kh * ulp(T), large for
+        # thin snow/ice layers where kh ~ 1/h), and the enthalpy
+        # reconstruction qin(Tin) (a few ulps of rhoi*Lfresh per layer).
+        # The threshold therefore gets a dtype-adaptive floor scaled by
+        # the magnitudes actually entering the residual; in f64 the
+        # floor is ~1e-10 W/m^2 and never binds, preserving exact
+        # reference semantics.  Without this, a cell whose *solution*
+        # is converged can fail the check forever (observed: thin
+        # sunlit ice runs to nitermax=100 in f32 every step).
         fcondbot = kh_c[nslyr + nilyr] * (Tin_new[nilyr - 1] - Tbot)
         ferr = jnp.abs((enew - einit) / dt - (fct_new - fcondbot + fswint))
         eps = jnp.finfo(ferr.dtype).eps
-        ferrmax_eff = jnp.maximum(ferrmax, 8.0 * eps * jnp.abs(einit) / dt)
+        noise_scale = (jnp.abs(einit) / dt + jnp.abs(fct_new)
+                       + jnp.abs(fcondbot) + jnp.abs(fswint))
+        ferrmax_eff = jnp.maximum(ferrmax, 32.0 * eps * noise_scale)
         bad_e = ferr > 0.9 * ferrmax_eff
         newly_unconv = newly_unconv | bad_e
 
@@ -458,6 +467,14 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
             kh_new = kh_new.at[ki + nslyr].set(new_above)
 
         conv_now = ~newly_unconv
+
+        # debug: bitmask of which conditions failed this iteration
+        why = (c1v.astype(jnp.int32) * 1
+               + c2v.astype(jnp.int32) * 2
+               + (jnp.abs(dTsf) > Tsf_errmax).astype(jnp.int32) * 4
+               + ((Tsf_new > -cn.puny)
+                  & (fsurfn_new < fct_new)).astype(jnp.int32) * 8
+               + bad_e.astype(jnp.int32) * 16)
 
         # merge: only active cells update
         def mrg(new, old):
@@ -484,6 +501,7 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
                            carry["flatn"])
         out["flwoutn"] = mrg(sf["flwoutn"] + dTsf * sf["dflwout_dT"],
                              carry["flwoutn"])
+        out["why"] = jnp.where(active, why, carry["why"])
         out["all_conv"] = jnp.all(out["converged"] | ~has_ice)
         out["niter"] = carry["niter"] + 1
         return out
@@ -492,7 +510,7 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
         Tsf=Tsf, Tsn=Tsn, Tin=Tin, qsn=qsn, qin=qin, kh=kh,
         dTsf_prev=zero, converged=jnp.zeros_like(has_ice),
         fsurfn=zero, fcondtopn=zero, fcondbot=zero,
-        fsensn=zero, flatn=zero, flwoutn=zero,
+        fsensn=zero, flatn=zero, flwoutn=zero, why=jnp.zeros_like(has_ice, jnp.int32),
         all_conv=jnp.asarray(False), niter=jnp.asarray(0),
     )
     res = jax.lax.while_loop(cond, body, carry0)
@@ -504,7 +522,7 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
         fcondbot=res["fcondbot"], fsensn=res["fsensn"],
         flatn=res["flatn"], flwoutn=res["flwoutn"], fswabsn=fswabsn,
         fswsfc=fswsfc, fswint=fswint, Sswabs=Sswabs, Iswabs=Iswabs,
-        converged=res["converged"], niter=res["niter"],
+        converged=res["converged"], niter=res["niter"], why=res["why"],
     )
 
 
@@ -631,11 +649,14 @@ def temperature_changes_know_tsfc(p: ThermoParams, dt, has_ice,
             + jnp.sum(hilyr[None] * (qin_new - dqmat), 0)
 
         # condition 5: energy conservation with prescribed fcondtopn
+        # (same dtype-adaptive noise floor as temperature_changes)
         fcondbot = kh_c[nslyr + nilyr] * (Tin_new[nilyr - 1] - Tbot)
         ferr = jnp.abs((enew - einit) / dt
                        - (fcondtopn - fcondbot + fswint))
         eps = jnp.finfo(ferr.dtype).eps
-        ferrmax_eff = jnp.maximum(ferrmax, 8.0 * eps * jnp.abs(einit) / dt)
+        noise_scale = (jnp.abs(einit) / dt + jnp.abs(fcondtopn)
+                       + jnp.abs(fcondbot) + jnp.abs(fswint))
+        ferrmax_eff = jnp.maximum(ferrmax, 32.0 * eps * noise_scale)
         bad_e = ferr > 0.9 * ferrmax_eff
         newly_unconv = newly_unconv | bad_e
 
@@ -1037,7 +1058,11 @@ def thermo_vertical_category(p: ThermoParams, dt, aicen, vicen, vsnon,
     (``thermo_vertical:321-421`` calc_Tsfc branches).
     """
     nilyr, nslyr = p.nilyr, p.nslyr
-    has_ice = aicen > cn.puny
+    # dtype-aware floor: below a_negligible the category's v/a and e/v
+    # ratios are f32 roundoff noise and the Newton solve cannot conserve
+    # energy (cn.a_negligible docstring); such cells are zapped by
+    # cleanup_itd anyway.
+    has_ice = aicen > cn.a_negligible(aicen.dtype)
     a_safe = jnp.maximum(aicen, cn.puny)
     tmlt = jnp.asarray(p.tmlt)[:nilyr, None, None]
 

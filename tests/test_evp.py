@@ -130,3 +130,52 @@ def test_strength_rothrock_positive_and_increasing():
     p_low, p_high = P_of(0.7), P_of(0.99)
     assert p_low > 0
     assert p_high > p_low  # compact ice is stronger
+
+
+def test_pallas_kernel_matches_jnp():
+    """The fused Pallas subcycle kernel (interpret mode on CPU) is
+    numerically identical to the jnp fori_loop path."""
+    from cice4_tpu.ops.evp_pallas import evp_subcycle_pallas
+
+    cfg, grid, s = _uniform_setup(ny=16, nx=128)
+    dyn = DynamicsConfig(ndte=20)
+    dt = 3600.0
+    p = evp_mod.make_evp_params(dyn, dt)
+    ny, nx = grid.ny, grid.nx
+    rng = np.random.RandomState(0)
+    f64 = jnp.float64
+
+    def rand(lo, hi, shape=(ny, nx)):
+        return jnp.asarray(rng.uniform(lo, hi, shape), f64)
+
+    strength = rand(0.0, 2.0e4)
+    icet = jnp.asarray(rng.rand(ny, nx) > 0.3)
+    iceu = icet & (rng.rand(ny, nx) > 0.1)
+    aiu = rand(0.5, 1.0)
+    uocn, vocn = rand(-0.2, 0.2), rand(-0.2, 0.2)
+    waterx, watery = rand(-0.2, 0.2), rand(-0.2, 0.2)
+    forcex, forcey = rand(-0.2, 0.2), rand(-0.2, 0.2)
+    umassdtei = rand(1.0, 60.0)
+    fm = rand(-2.0, 2.0)
+    uvel, vvel = rand(-0.3, 0.3), rand(-0.3, 0.3)
+    sp = rand(-1e3, 1e3, (4, ny, nx)) * icet
+    sm = rand(-1e3, 1e3, (4, ny, nx)) * icet
+    s12 = rand(-1e3, 1e3, (4, ny, nx)) * icet
+    args = (strength * icet, icet, iceu, aiu, uocn, vocn, waterx, watery,
+            forcex, forcey, umassdtei, fm, uvel, vvel, sp, sm, s12)
+
+    ref = evp_mod._evp_subcycle_jnp(p, grid, *args)
+    out = evp_subcycle_pallas(p, grid, *args, interpret=True)
+
+    names = ("uvel", "vvel", "stressp", "stressm", "stress12")
+    for i, name in enumerate(names):
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref[i]),
+                                   rtol=1e-12, atol=1e-12, err_msg=name)
+    for key in ("div_sum", "delta_sum", "ten_sum", "shr_sum", "prs_sig"):
+        np.testing.assert_allclose(np.asarray(out[5][key]),
+                                   np.asarray(ref[5][key]),
+                                   rtol=1e-12, atol=1e-12, err_msg=key)
+    for i, name in zip(range(6, 10), ("strintx", "strinty",
+                                      "strocnx", "strocny")):
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref[i]),
+                                   rtol=1e-12, atol=1e-12, err_msg=name)
