@@ -44,6 +44,7 @@ class IceModelRun:
         self.calendar: Calendar | None = None
         self._step = None
         self._diag = None
+        self._restore = None
         self.history = None
 
     # -- initialize ---------------------------------------------------------
@@ -82,6 +83,28 @@ class IceModelRun:
 
             self._step = _step
             self._diag = jax.jit(lambda s: runtime_diags(s, grid))
+            # initial ocean fields from climatology (init_forcing_ocn)
+            ocn = getattr(self.forcing_provider, "ocn", None)
+            if ocn is not None and ocn.available \
+                    and cfg.run.runtype != "continue" and state is None:
+                sss0, _tf0, sst0 = ocn.initial_fields(self.calendar.month)
+                if sst0 is not None:
+                    self.state = self.state.replace(sst=sst0)
+            # regional ice restoring toward the initial state
+            # (ice_restoring.F90; restore_ice flag)
+            self._restore = None
+            if cfg.forcing.restore_ice:
+                from cice4_tpu.ops.restoring import (boundary_band_mask,
+                                                     restore_ice)
+                band = boundary_band_mask(self.grid)
+                ref_state = self.state
+                trest = float(cfg.forcing.trestore)
+
+                @jax.jit
+                def _restore(state):
+                    return restore_ice(state, ref_state, band,
+                                       cfg.run.dt, trest)
+                self._restore = _restore
             self.history = History(
                 grid, histfreq=cfg.run.histfreq,
                 histfreq_n=cfg.run.histfreq_n, avg=cfg.run.hist_avg,
@@ -97,11 +120,17 @@ class IceModelRun:
         t_wall0 = _time.time()
         for _ in range(npt):
             with self.timers("Forcing"):
-                f = self.forcing_provider(cal.yday, cal.sec)
+                f = self.forcing_provider(cal.yday, cal.sec, cal=cal,
+                                          state=self.state)
+                if hasattr(self.forcing_provider, "ocean_update"):
+                    self.state = self.forcing_provider.ocean_update(
+                        self.state, cal, cfg.run.dt)
             with self.timers("Step"):
                 self.state, fluxes = self._step(self.state, f,
                                                 jnp.asarray(cal.yday),
                                                 jnp.asarray(cal.sec))
+            if self._restore is not None:
+                self.state = self._restore(self.state)
             cal.advance()
             with self.timers("History"):
                 self.history.accumulate(self.state, fluxes)

@@ -24,7 +24,7 @@ from cice4_tpu import constants as cn
         "zlvl", "uatm", "vatm", "wind", "potT", "Tair", "Qa", "rhoa",
         "flw", "swvdr", "swvdf", "swidr", "swidf", "frain", "fsnow",
         "sss", "uocn", "vocn", "ss_tltx", "ss_tlty", "qdp", "hmix",
-        "fsurfn_f", "fcondtopn_f", "flatn_f",
+        "fsurfn_f", "fcondtopn_f", "flatn_f", "strax", "stray",
     ],
     meta_fields=[],
 )
@@ -62,6 +62,11 @@ class Forcing:
     fsurfn_f: jax.Array | None = None     # net surface flux excl. conductive
     fcondtopn_f: jax.Array | None = None  # downward conductive flux at top
     flatn_f: jax.Array | None = None      # latent heat flux
+    # prescribed wind stress for calc_strair=F datasets (already rotated
+    # to grid axes and aice-weighted per the coupled convention,
+    # ``ice_dyn_evp.F90:255-277`` ACCESS branch)
+    strax: jax.Array | None = None
+    stray: jax.Array | None = None
 
     def replace(self, **kw) -> "Forcing":
         return dataclasses.replace(self, **kw)

@@ -207,6 +207,12 @@ def _step_therm1(model: Model, state: State, grid: Grid, f: Forcing,
         merged[name] = jnp.sum(src * w, axis=0)
     merged["rside"] = rside
     merged["fbot"] = fbot
+    # calc_strair=F with a prescribed-stress dataset (monthly): the
+    # boundary layer returned zero stress; take the file stress instead
+    # (already rotated + aice-weighted, ice_dyn_evp.F90:255-277)
+    if not model.cfg.thermo.calc_strair and f.strax is not None:
+        merged["strairxT"] = f.strax
+        merged["strairyT"] = f.stray
     # per-category grid-cell-mean fluxes for the 3Dc history fields
     # (ice_history.F90 f_fsurfn_ai etc.; "_ai" = times category area)
     for name, per_ice in [("fsurfn_ai", "fsurfn"),

@@ -445,8 +445,18 @@ def _construct(mm, hm_real, tm, meta, bc):
 
 def _edge_integrals(edge, geom, mc, mx, my, tc, tx, ty, meta, bc, order):
     """Batched mass and mass*tracer fluxes across one edge direction
-    (``transport_integrals:3307-3632``).  Tracer arrays (T, ny, nx)."""
-    idx1 = [k for k, (_, tt, _p) in enumerate(meta) if tt == 1]
+    (``transport_integrals:3307-3632``).  Tracer arrays (T, ny, nx).
+
+    TPU restructuring: the reference (and a naive translation) gathers
+    the reconstruction coefficients of the flux-donor cell *per triangle
+    group* and sums mass*tracer quadrature per group — O(ngroups * T)
+    tracer-deep planes of traffic.  Because every group's donor cell is
+    one of 6 static positions, the triangle quadrature moments can
+    instead be accumulated into per-*position* weight planes
+    (6 positions x 6 moments, tracer-independent), after which the
+    tracer flux is a single weighted sum over positions — O(npos * T)
+    with a ~4x smaller constant.  Pure reassociation of the same sums.
+    """
     idx2 = [k for k, (_, tt, _p) in enumerate(meta) if tt == 2]
     T = len(meta)
 
@@ -459,12 +469,11 @@ def _edge_integrals(edge, geom, mc, mx, my, tc, tx, ty, meta, bc, order):
     mc6 = shift6(mc)
     mx6 = shift6(mx)
     my6 = shift6(my)
-    tc6 = shift6(tc)   # leading T axis rides through the halo ops
-    tx6 = shift6(tx)
-    ty6 = shift6(ty)
 
+    # per-position accumulated quadrature moments (x area): order is
+    # (m, mx, my, mxx, mxy, myy)
+    W = {p: [0.0] * 6 for p in used}
     mflx = 0.0
-    mtflx = 0.0
 
     for g in range(NGROUPS):
         lx, ly = geom["verts"][g]
@@ -481,41 +490,52 @@ def _edge_integrals(edge, geom, mc, mx, my, tc, tx, ty, meta, bc, order):
         mcg = gather(mc6)
         mxg = gather(mx6)
         myg = gather(my6)
-        tcg = gather(tc6)
-        txg = gather(tx6)
-        tyg = gather(ty6)
 
         pts = _quad_points(lx, ly, order)
-        msum = 0.0
-        mxsum = 0.0
-        mysum = 0.0
-        mxxsum = 0.0
-        mxysum = 0.0
-        myysum = 0.0
+        moms = [0.0] * 6
         for (px, py, w) in pts:
             mq = w * (mcg + px * mxg + py * myg)
-            msum = msum + mq
-            mxsum = mxsum + mq * px
-            mysum = mysum + mq * py
-            mxxsum = mxxsum + mq * px * px
-            mxysum = mxysum + mq * px * py
-            myysum = myysum + mq * py * py
-        mflx = mflx + area * msum
+            moms[0] = moms[0] + mq
+            moms[1] = moms[1] + mq * px
+            moms[2] = moms[2] + mq * py
+            moms[3] = moms[3] + mq * px * px
+            moms[4] = moms[4] + mq * px * py
+            moms[5] = moms[5] + mq * py * py
+        mflx = mflx + area * moms[0]
 
-        # type-1 rows (vectorized over the tracer axis)
-        mtsum = msum[None] * tcg + mxsum[None] * txg + mysum[None] * tyg
-        mtxsum = mxsum[None] * tcg + mxxsum[None] * txg + mxysum[None] * tyg
-        mtysum = mysum[None] * tcg + mxysum[None] * txg + myysum[None] * tyg
+        if T:
+            for p in cands:
+                sel = pos == p
+                acc = W[p]
+                for k in range(6):
+                    acc[k] = acc[k] + jnp.where(sel, area * moms[k], 0.0)
 
+    if not T:
+        shape = (0,) + (mflx.shape if hasattr(mflx, "shape") else ())
+        return mflx, jnp.zeros(shape, mc.dtype)
+
+    if idx2:
+        a2 = jnp.asarray(idx2)
+        ap = jnp.asarray([meta[k][2] for k in idx2])
+
+    mtflx = 0.0
+    for p in used:
+        tcp = _shifted(tc, edge, p, bc)
+        txp = _shifted(tx, edge, p, bc)
+        typ = _shifted(ty, edge, p, bc)
+        wm, wx, wy, wxx, wxy, wyy = W[p]
+        # type-1 rows: Σ_tri area * (m·tc + mx·tx + my·ty)
+        mts = wm[None] * tcp + wx[None] * txp + wy[None] * typ
         if idx2:
-            # type-2 rows: replace with parent-based integrals
-            a2 = jnp.asarray(idx2)
-            ap = jnp.asarray([meta[k][2] for k in idx2])
-            mts2 = (mtsum[ap] * tcg[a2] + mtxsum[ap] * txg[a2]
-                    + mtysum[ap] * tyg[a2])
-            mtsum = mtsum.at[a2].set(mts2)
-
-        mtflx = mtflx + area[None] * mtsum
+            # type-2 rows: Σ_tri area * (mt_par·tc2 + mtx_par·tx2
+            # + mty_par·ty2) with the parent moments at the same position
+            pc, px_, py_ = tcp[ap], txp[ap], typ[ap]
+            g0 = wm[None] * pc + wx[None] * px_ + wy[None] * py_
+            g1 = wx[None] * pc + wxx[None] * px_ + wxy[None] * py_
+            g2 = wy[None] * pc + wxy[None] * px_ + wyy[None] * py_
+            mts = mts.at[a2].set(
+                g0 * tcp[a2] + g1 * txp[a2] + g2 * typ[a2])
+        mtflx = mtflx + mts
 
     return mflx, mtflx
 
