@@ -119,6 +119,11 @@ class RadiationConfig:
 
     shortwave: str = "default"    # default (CCSM3) | dEdd
     albedo_type: str = "default"  # default | constant
+    # coupled-mode ordering: compute shortwave at the END of the step
+    # and rescale last step's absorbed SW by the new net shortwave at
+    # the START (``ice_step_mod.F90 prep_radiation:84-218``).  Default
+    # False = standalone ordering (radiation at step start, no rescale).
+    prep_radiation: bool = False
     albicev: float = 0.78         # visible ice albedo (thick ice)
     albicei: float = 0.36         # near-IR ice albedo
     albsnowv: float = 0.98        # visible snow albedo (cold snow)

@@ -99,6 +99,30 @@ def _step_radiation(model: Model, state: State, grid: Grid, f: Forcing,
     return sw
 
 
+def _prep_radiation(model: Model, state: State, f: Forcing):
+    """Coupled-mode SW rescale at step start (``ice_step_mod.F90
+    prep_radiation:84-218``): multiply last step's absorbed-SW
+    components (carried in state.swn) by netsw_new / scale_factor."""
+    swn = state.swn
+    aice = jnp.sum(state.aicen, 0)
+    netsw = (f.swvdr * (1.0 - swn["alvdr_gbm"])
+             + f.swvdf * (1.0 - swn["alvdf_gbm"])
+             + f.swidr * (1.0 - swn["alidr_gbm"])
+             + f.swidf * (1.0 - swn["alidf_gbm"]))
+    ok = (aice > 0.0) & (state.scale_factor > cn.puny)
+    scale = jnp.where(ok, netsw / jnp.maximum(state.scale_factor,
+                                              cn.puny), 1.0)
+    sw = dict(
+        fswsfc=scale[None] * swn["fswsfcn"],
+        fswint=scale[None] * swn["fswintn"],
+        fswthru=scale[None] * swn["fswthrun"],
+        Sswabs=scale[None, None] * swn["Sswabsn"],
+        Iswabs=scale[None, None] * swn["Iswabsn"],
+        fswfac=scale,
+    )
+    return sw
+
+
 def _step_therm1(model: Model, state: State, grid: Grid, f: Forcing,
                  sw, Tf, yday, dt):
     """Per-category vertical thermo + flux merging
@@ -326,12 +350,37 @@ def _coupling_prep(model: Model, state: State, grid: Grid, f: Forcing,
         fluxes.update({k: v for k, v in ml.items()
                        if k not in ("sst", "frzmlt", "qdp")})
 
+    swn = state.swn
+    if cfg.radiation.prep_radiation:
+        # carry the absorbed-SW components + gridbox albedos to the
+        # next step's prep_radiation rescale
+        swn = dict(fswsfcn=sw["fswsfc"], fswintn=sw["fswint"],
+                   fswthrun=sw["fswthru"], Sswabsn=sw["Sswabs"],
+                   Iswabsn=sw["Iswabs"],
+                   alvdr_gbm=albs["alvdr"], alvdf_gbm=albs["alvdf"],
+                   alidr_gbm=albs["alidr"], alidf_gbm=albs["alidf"])
+
     state = state.replace(sst=sst, frzmlt=frzmlt,
-                          scale_factor=scale_factor)
+                          scale_factor=scale_factor, swn=swn)
     fluxes.update(albs)
     fluxes["coszen"] = sw["coszen"]
     fluxes["albice"] = jnp.sum(sw["albin"] * state.aicen, 0)
     fluxes["albsno"] = jnp.sum(sw["albsn"] * state.aicen, 0)
+
+    # scale_fluxes (ice_flux.F90:776-888): divide the merged fluxes by
+    # aice so the coupler receives per-unit-ice-area values; zero (or
+    # the documented defaults) where there is no ice
+    ice = grid.tmask & (aice > 0.0)
+    ar = jnp.where(ice, 1.0 / jnp.maximum(aice, cn.puny), 0.0)
+    for name in ("strairxT", "strairyT", "fsens", "flat", "fswabs",
+                 "evap", "Tref", "Qref", "fresh", "fsalt", "fhocn",
+                 "fswthru", "alvdr", "alidr", "alvdf", "alidf"):
+        fluxes[name] = fluxes[name] * ar
+    fluxes["flwout"] = jnp.where(
+        ice, fluxes["flwout"] * ar,
+        -cn.stefan_boltzmann * (Tf + cn.Tffresh) ** 4)
+    fluxes["Tref"] = jnp.where(ice, fluxes["Tref"], f.Tair)
+    fluxes["Qref"] = jnp.where(ice, fluxes["Qref"], f.Qa)
     return state, fluxes
 
 
@@ -347,11 +396,19 @@ def ice_step(model: Model, state: State, grid: Grid, f: Forcing,
         dt = cfg.run.dt
     Tf = freezing_temperature(cfg, f.sss)
 
-    sw = _step_radiation(model, state, grid, f, yday, sec, dt)
+    if cfg.radiation.prep_radiation:
+        # coupled ordering (CICE_RunMod.F90 ice_step:164-242): rescale
+        # last step's absorbed SW now, run radiation at the END
+        sw = _prep_radiation(model, state, f)
+    else:
+        # standalone/CICE5-style ordering: radiation at step start
+        sw = _step_radiation(model, state, grid, f, yday, sec, dt)
     state, fluxes, init = _step_therm1(model, state, grid, f, sw, Tf,
                                        yday, dt)
     state, fluxes = _step_therm2(model, state, grid, fluxes, init, Tf, dt)
     state, fluxes = _step_dynamics(model, state, grid, f, fluxes, dt)
+    if cfg.radiation.prep_radiation:
+        sw = _step_radiation(model, state, grid, f, yday, sec, dt)
     state, fluxes = _coupling_prep(model, state, grid, f, sw, fluxes,
                                    Tf, dt)
     return state, fluxes

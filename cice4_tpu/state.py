@@ -40,7 +40,7 @@ from cice4_tpu.grid import Grid
     data_fields=[
         "aicen", "vicen", "vsnon", "eicen", "esnon", "tsfcn", "trcrn",
         "uvel", "vvel", "stressp", "stressm", "stress12", "iceumask",
-        "sst", "frzmlt", "scale_factor", "strocnxT", "strocnyT",
+        "sst", "frzmlt", "scale_factor", "strocnxT", "strocnyT", "swn",
     ],
     meta_fields=[],
 )
@@ -69,6 +69,11 @@ class State:
     scale_factor: jax.Array  # shortwave scaling factor (ice_flux.F90)
     strocnxT: jax.Array  # ice-ocean stress at T points (N/m^2)
     strocnyT: jax.Array
+    # coupled-mode carried shortwave (radiation.prep_radiation=True):
+    # last step's absorbed-SW components + gridbox-mean albedos,
+    # rescaled at step start (ice_step_mod.F90 prep_radiation:84-218).
+    # Empty dict when the flag is off (pytree structure is per-config).
+    swn: dict = dataclasses.field(default_factory=dict)
 
     @property
     def ncat(self):
@@ -166,6 +171,13 @@ def zeros_state(cfg: Config, grid: Grid, dtype=jnp.float32) -> State:
         trcrn["vlvl"] = zc
     if cfg.tracers.tr_pond:
         trcrn["volpn"] = zc
+    swn = {}
+    if cfg.radiation.prep_radiation:
+        swn = dict(fswsfcn=zc, fswintn=zc, fswthrun=zc,
+                   Sswabsn=jnp.zeros((ncat, nslyr, ny, nx), dtype),
+                   Iswabsn=jnp.zeros((ncat, nilyr, ny, nx), dtype),
+                   alvdr_gbm=z2, alvdf_gbm=z2, alidr_gbm=z2,
+                   alidf_gbm=z2)
     return State(
         aicen=zc, vicen=zc, vsnon=zc,
         eicen=jnp.zeros((ncat, nilyr, ny, nx), dtype),
@@ -177,7 +189,7 @@ def zeros_state(cfg: Config, grid: Grid, dtype=jnp.float32) -> State:
         stress12=jnp.zeros((4, ny, nx), dtype),
         iceumask=jnp.zeros((ny, nx), bool),
         sst=z2, frzmlt=z2, scale_factor=z2,
-        strocnxT=z2, strocnyT=z2,
+        strocnxT=z2, strocnyT=z2, swn=swn,
     )
 
 

@@ -1,0 +1,229 @@
+"""Coupled-mode tests: scale_fluxes, prep_radiation ordering, the
+ACCESS-OM/CM adapters, and the ESMF-style component lifecycle.
+
+Reference behavior: ``ice_flux.F90 scale_fluxes:776-888``,
+``ice_step_mod.F90 prep_radiation:84-218``,
+``drivers/access-cm/cpl_interface.F90`` + ``cpl_forcing_handler.F90``,
+``drivers/esmf/CICE_ComponentMod.F90:58-214``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cice4_tpu import constants as cn
+from cice4_tpu.config import (Config, DomainConfig, DynamicsConfig,
+                              GridConfig, RadiationConfig, RunConfig,
+                              ThermoConfig, TransportConfig)
+from cice4_tpu.forcing import default_forcing
+from cice4_tpu.grid import make_grid
+from cice4_tpu.model import Model, make_step_fn
+from cice4_tpu.state import freezing_temperature, init_state
+
+
+def _rect_cfg(**kw):
+    return Config(
+        domain=DomainConfig(nx_global=24, ny_global=20),
+        grid=GridConfig(grid_type="rectangular", lat_origin=71.35),
+        dynamics=DynamicsConfig(ndte=40),
+        transport=TransportConfig(advection="upwind"),
+        **kw,
+    )
+
+
+def _scale_extensive(state, factor):
+    """Scale concentration + all extensive per-category fields by
+    `factor`, preserving per-category thickness (intensive state)."""
+    return state.replace(
+        aicen=state.aicen * factor, vicen=state.vicen * factor,
+        vsnon=state.vsnon * factor, eicen=state.eicen * factor,
+        esnon=state.esnon * factor)
+
+
+def test_scale_fluxes_per_ice_area_invariance():
+    """scale_fluxes divides by aice: two states identical except for
+    concentration (same per-category thickness) must hand the coupler
+    the SAME per-unit-ice-area fluxes (``ice_flux.F90:776-888``)."""
+    cfg = _rect_cfg()
+    grid = make_grid(cfg, dtype=jnp.float64)
+    model = Model.create(cfg)
+    base = init_state(cfg, grid, model.itd, dtype=jnp.float64)
+    f = default_forcing(grid.ny, grid.nx, jnp.float64)
+    step = make_step_fn(model)
+
+    outs = {}
+    for factor in (0.6, 0.3):
+        s = _scale_extensive(base, factor)
+        _s1, fluxes = step(s, grid, f, 20.0, 0.0)
+        outs[factor] = fluxes
+
+    ice = np.asarray(jnp.sum(_scale_extensive(base, 0.3).aicen, 0)) > 0.0
+    assert ice.any()
+    for name in ("fsens", "flat", "flwout", "evap", "Tref", "Qref",
+                 "fresh", "fsalt", "fhocn", "fswthru",
+                 "alvdr", "alidr", "alvdf", "alidf",
+                 "strairxT", "strairyT"):
+        a = np.asarray(outs[0.6][name])[ice]
+        b = np.asarray(outs[0.3][name])[ice]
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-9,
+                                   err_msg=name)
+
+
+def test_scale_fluxes_open_ocean_defaults():
+    """Where aice == 0 the coupler sees the documented defaults:
+    flwout = -sigma*(Tf+Tffresh)^4, Tref = Tair, Qref = Qa, zero
+    stresses/albedos (``ice_flux.F90:866-886``)."""
+    cfg = _rect_cfg()
+    grid = make_grid(cfg, dtype=jnp.float64)
+    model = Model.create(cfg)
+    state = init_state(cfg, grid, model.itd, dtype=jnp.float64)
+    # carve out an ice-free strip
+    z = state.aicen.at[:, :, :6].set(0.0)
+    state = state.replace(
+        aicen=z, vicen=state.vicen.at[:, :, :6].set(0.0),
+        vsnon=state.vsnon.at[:, :, :6].set(0.0),
+        eicen=state.eicen.at[:, :, :, :6].set(0.0),
+        esnon=state.esnon.at[:, :, :, :6].set(0.0))
+    f = default_forcing(grid.ny, grid.nx, jnp.float64)
+    step = make_step_fn(model)
+    s1, fluxes = step(state, grid, f, 20.0, 0.0)
+
+    empty = np.asarray(jnp.sum(s1.aicen, 0)) == 0.0
+    empty &= np.asarray(grid.tmask)
+    empty[:, 6:] = False
+    assert empty.any()
+    Tf = np.asarray(freezing_temperature(cfg, f.sss))
+    want = -cn.stefan_boltzmann * (Tf + cn.Tffresh) ** 4
+    np.testing.assert_allclose(np.asarray(fluxes["flwout"])[empty],
+                               want[empty], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(fluxes["Tref"])[empty],
+                               np.asarray(f.Tair)[empty])
+    np.testing.assert_allclose(np.asarray(fluxes["Qref"])[empty],
+                               np.asarray(f.Qa)[empty])
+    for name in ("fsens", "alvdr", "alidf", "strairxT", "fresh"):
+        assert np.all(np.asarray(fluxes[name])[empty] == 0.0), name
+
+
+def test_prep_radiation_ordering():
+    """Coupled ordering (prep_radiation=True): step 1 has no absorbed
+    SW (nothing carried yet); once spun in, the trajectory tracks the
+    standalone ordering under constant forcing
+    (``ice_step_mod.F90 prep_radiation:84-218``)."""
+    sunny = dict(swvdr=120.0, swvdf=60.0, swidr=80.0, swidf=40.0)
+
+    results = {}
+    for prep in (False, True):
+        cfg = _rect_cfg(radiation=RadiationConfig(prep_radiation=prep))
+        grid = make_grid(cfg, dtype=jnp.float64)
+        model = Model.create(cfg)
+        s = init_state(cfg, grid, model.itd, dtype=jnp.float64)
+        f = default_forcing(grid.ny, grid.nx, jnp.float64)
+        f = f.replace(**{k: jnp.full_like(f.swvdr, v)
+                         for k, v in sunny.items()})
+        step = make_step_fn(model)
+        traj = []
+        for k in range(4):
+            s, fluxes = step(s, grid, f, 170.0, 43200.0)
+            traj.append((s, fluxes))
+        results[prep] = traj
+
+    # step 1 coupled: zero absorbed SW (swn carried state starts empty)
+    fswabs1 = np.asarray(results[True][0][1]["fswabs"])
+    assert np.all(fswabs1 == 0.0)
+    assert np.asarray(results[False][0][1]["fswabs"]).max() > 0.0
+    # carried swn populated after a step
+    assert "fswsfcn" in results[True][0][0].swn
+
+    # after spin-in the two orderings agree closely (constant forcing)
+    v_prep = np.asarray(jnp.sum(results[True][3][0].vicen, 0))
+    v_std = np.asarray(jnp.sum(results[False][3][0].vicen, 0))
+    np.testing.assert_allclose(v_prep, v_std, rtol=0.02, atol=1e-4)
+
+
+def test_access_cm_adapter():
+    """ACCESS-CM exchange: UM melt fluxes drive the prescribed-flux
+    thermo (``cpl_forcing_handler.F90 set_sbc_ice:436-519``)."""
+    from cice4_tpu import coupling_cm
+
+    cfg = _rect_cfg(thermo=ThermoConfig(calc_Tsfc=False))
+    grid = make_grid(cfg, dtype=jnp.float64)
+    model = Model.create(cfg)
+    state = init_state(cfg, grid, model.itd, dtype=jnp.float64)
+    ncat = state.aicen.shape[0]
+
+    names_a2i = coupling_cm.a2i_cm_fields(ncat)
+    assert len(names_a2i) == 16 + 2 * ncat
+    z = jnp.zeros((grid.ny, grid.nx), jnp.float64)
+    a2i = {n: z for n in names_a2i}
+    a2i.update({f"tmlt{k:02d}_i": z + 5.0 for k in range(1, ncat + 1)})
+    a2i.update({f"bmlt{k:02d}_i": z - 2.0 for k in range(1, ncat + 1)})
+    a2i["lhflx_i"] = z - 10.0
+    a2i["snow_i"] = z + 1e-5
+    a2i["taux_i"] = z + 0.1
+
+    f = default_forcing(grid.ny, grid.nx, jnp.float64)
+    f = coupling_cm.from_atm_cm(f, a2i, state.aicen)
+    assert f.fsurfn_f is not None and f.fsurfn_f.shape[0] == ncat
+    np.testing.assert_allclose(np.asarray(f.fsurfn_f), 3.0)
+    np.testing.assert_allclose(np.asarray(f.fcondtopn_f), -2.0)
+
+    o2i = {n: z for n in ("sst_i", "sss_i", "ssu_i", "ssv_i",
+                          "sslx_i", "ssly_i", "pfmice_i")}
+    o2i["sss_i"] = z + 33.0
+    o2i["sst_i"] = z - 1.7
+    f, upd = coupling_cm.from_ocn_cm(f, o2i)
+    assert float(upd["sst"][0, 0]) == pytest.approx(-1.7)
+
+    step = make_step_fn(model)
+    state = state.replace(**{k: jnp.asarray(v) for k, v in upd.items()})
+    s1, fluxes = step(state, grid, f, 80.0, 0.0)
+    for leaf in jax.tree_util.tree_leaves(s1):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+    i2a = coupling_cm.into_atm_cm(s1)
+    assert set(i2a) == set(coupling_cm.i2a_cm_fields(ncat))
+    hi = np.asarray(i2a["icethk03"])
+    assert np.isfinite(hi).all() and hi.max() > 0.0
+
+
+def test_esmf_component_lifecycle(tmp_path):
+    """init/run/finalize with import/export states
+    (``CICE_ComponentMod.F90 CICE_SetServices:58-214``)."""
+    from cice4_tpu.component import IceComponent
+    from cice4_tpu.coupling import (A2I_FIELDS, I2A_FIELDS, I2O_FIELDS,
+                                    O2I_FIELDS)
+
+    cfg = _rect_cfg(run=RunConfig(
+        npt=2, diagfreq=0, histfreq=("x",) * 5,
+        history_dir=str(tmp_path), restart_dir=str(tmp_path),
+        pointer_file=str(tmp_path / "ptr")))
+    comp = IceComponent(cfg, flavor="om", dtype=jnp.float64,
+                        log=lambda *a: None)
+    services = comp.set_services()
+    assert set(services) == {"init", "run", "finalize"}
+    services["init"]()
+
+    ny, nx = comp.runner.grid.ny, comp.runner.grid.nx
+    z = jnp.zeros((ny, nx), jnp.float64)
+    a2i = {n: z for n in A2I_FIELDS}
+    a2i.update(tair_i=z + 253.0, qair_i=z + 2e-4, lwfld_i=z + 180.0,
+               swfld_i=z + 80.0, uwnd_i=z + 3.0)
+    o2i = {n: z for n in O2I_FIELDS}
+    o2i.update(sss_i=z + 34.0, sst_i=z - 1.8)
+
+    export = services["run"]({"a2i": a2i, "o2i": o2i}, n_steps=2)
+    assert set(export["i2o"]) == set(I2O_FIELDS)
+    assert set(export["i2a"]) == set(I2A_FIELDS)
+    for name, v in {**export["i2o"], **export["i2a"]}.items():
+        assert bool(jnp.all(jnp.isfinite(v))), name
+    assert float(jnp.max(export["i2o"]["aice_io"])) > 0.0
+    assert comp.runner.calendar.istep == 2
+    services["finalize"]()
+
+
+def test_cm_flavor_requires_prescribed_thermo():
+    from cice4_tpu.component import IceComponent
+
+    with pytest.raises(ValueError):
+        IceComponent(_rect_cfg(), flavor="cm")
