@@ -181,6 +181,11 @@ class RunConfig:
     dumpfreq: str = "y"
     dumpfreq_n: int = 1
     diagfreq: int = 24            # diagnostics every N steps
+    print_points: bool = False    # per-point probes (print_points nml)
+    guards: bool = True           # in-graph abort-with-coordinates checks
+    # the reference's default diagnostic points (ice_diagnostics.F90
+    # latpnt/lonpnt defaults): central Arctic + Weddell Sea
+    latpnt_lonpnt: tuple = ((90.0, 0.0), (-65.0, -45.0))
     histfreq: tuple = ("m", "x", "x", "x", "x")
     histfreq_n: tuple = (1, 1, 1, 1, 1)
     hist_avg: bool = True

@@ -18,8 +18,11 @@ import jax.numpy as jnp
 
 from cice4_tpu.calendar import Calendar
 from cice4_tpu.config import Config
-from cice4_tpu.diagnostics import format_diags, runtime_diags
+from cice4_tpu.diagnostics import (find_points, format_diags,
+                                   format_points, init_mass_diags,
+                                   point_diags, runtime_diags)
 from cice4_tpu.forcing import Forcing
+from cice4_tpu.guards import raise_on_violation
 from cice4_tpu.grid import Grid, make_grid
 from cice4_tpu.io.forcing_data import make_forcing_provider
 from cice4_tpu.io.history import History
@@ -45,6 +48,7 @@ class IceModelRun:
         self._step = None
         self._diag = None
         self._restore = None
+        self._pending_guards = None
         self.history = None
 
     # -- initialize ---------------------------------------------------------
@@ -82,7 +86,16 @@ class IceModelRun:
                 return ice_step(model, state, grid, forcing, yday, sec)
 
             self._step = _step
-            self._diag = jax.jit(lambda s: runtime_diags(s, grid))
+            dt = float(cfg.run.dt)
+            update_ocn_f = bool(cfg.thermo.update_ocn_f)
+            calc_Tsfc = bool(cfg.thermo.calc_Tsfc)
+            self._diag = jax.jit(
+                lambda s, fx, f, di: runtime_diags(
+                    s, grid, fluxes=fx, forcing=f, init_diag=di, dt=dt,
+                    update_ocn_f=update_ocn_f, calc_Tsfc=calc_Tsfc))
+            self._initdiag = jax.jit(lambda s: init_mass_diags(s, grid))
+            self._points = (find_points(grid, cfg.run.latpnt_lonpnt)
+                            if cfg.run.print_points else None)
             # initial ocean fields from climatology (init_forcing_ocn)
             ocn = getattr(self.forcing_provider, "ocn", None)
             if ocn is not None and ocn.available \
@@ -119,16 +132,28 @@ class IceModelRun:
         npt = npt if npt is not None else cfg.run.npt
         t_wall0 = _time.time()
         for _ in range(npt):
+            diag_step = (cfg.run.diagfreq
+                         and (cal.istep + 1) % cfg.run.diagfreq == 0)
             with self.timers("Forcing"):
                 f = self.forcing_provider(cal.yday, cal.sec, cal=cal,
                                           state=self.state)
                 if hasattr(self.forcing_provider, "ocean_update"):
                     self.state = self.forcing_provider.ocean_update(
                         self.state, cal, cfg.run.dt)
+            if diag_step:
+                # start-of-step totals for the budget-closure errors
+                # (init_mass_diags, ice_diagnostics.F90:853-927)
+                init_diag = self._initdiag(self.state)
             with self.timers("Step"):
                 self.state, fluxes = self._step(self.state, f,
                                                 jnp.asarray(cal.yday),
                                                 jnp.asarray(cal.sec))
+            # abort-with-coordinates (guards.py): inspect the PREVIOUS
+            # step's violation records — it has already completed, so
+            # this costs no pipeline stall — then queue this step's
+            if self._pending_guards:
+                raise_on_violation(self._pending_guards)
+            self._pending_guards = fluxes.pop("_guards", None)
             if self._restore is not None:
                 self.state = self._restore(self.state)
             cal.advance()
@@ -136,15 +161,22 @@ class IceModelRun:
                 self.history.accumulate(self.state, fluxes)
                 for p in self.history.write_due(cal):
                     self.log(f"wrote history {p}")
-            if cfg.run.diagfreq and cal.istep % cfg.run.diagfreq == 0:
+            if diag_step:
                 with self.timers("Diags"):
-                    d = self._diag(self.state)
+                    d = self._diag(self.state, fluxes, f, init_diag)
                     jax.block_until_ready(d)
                     self.log(format_diags(cal.istep, d))
+                    if self._points:
+                        pd = point_diags(self.state, self.grid, fluxes,
+                                         f, cfg.run.dt, self._points)
+                        self.log(format_points(pd))
             if cal.write_flag(cfg.run.dumpfreq, cfg.run.dumpfreq_n):
                 with self.timers("ReadWrite"):
                     self.write_restart()
         jax.block_until_ready(self.state.aicen)
+        if self._pending_guards:
+            raise_on_violation(self._pending_guards)
+            self._pending_guards = None
         wall = _time.time() - t_wall0
         self.log(f"ran {npt} steps in {wall:.2f} s "
                  f"({npt * self.grid.nx * self.grid.ny / max(wall, 1e-9):.3e}"

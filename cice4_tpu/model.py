@@ -193,6 +193,15 @@ def _step_therm1(model: Model, state: State, grid: Grid, f: Forcing,
     else:
         st, fx = jax.vmap(lambda *a: percat(*a))(*cat_args)
 
+    guards = {}
+    if cfg.run.guards:
+        # conservation_check_vthermo (ice_therm_vertical.F90:4511-4613)
+        from cice4_tpu.guards import check_vthermo
+        guards["thermo energy conservation (W/m^2)"] = check_vthermo(
+            dt, fx["fsurfn"], fx["flatn"], sw["fswint"],
+            fx["fhocnn"], f.fsnow[None], fx["einit"], fx["efinal"],
+            aicen_init > cn.a_negligible(aicen_init.dtype))
+
     trcrn = dict(state.trcrn)
     if "iage" in trcrn:
         # increment_age (ice_age.F90:87-123)
@@ -231,6 +240,9 @@ def _step_therm1(model: Model, state: State, grid: Grid, f: Forcing,
         merged[name] = jnp.sum(src * w, axis=0)
     merged["rside"] = rside
     merged["fbot"] = fbot
+    # pre-step total concentration, the weight the reference's budget
+    # diagnostics use for rain/snow input (ice_diagnostics.F90:461-474)
+    merged["aice_init"] = jnp.sum(aicen_init, axis=0)
     # calc_strair=F with a prescribed-stress dataset (monthly): the
     # boundary layer returned zero stress; take the file stress instead
     # (already rotated + aice-weighted, ice_dyn_evp.F90:255-277)
@@ -243,6 +255,7 @@ def _step_therm1(model: Model, state: State, grid: Grid, f: Forcing,
                           ("fcondtopn_ai", "fcondtopn"),
                           ("flatn_ai", "flatn")]:
         merged[name] = fx[per_ice] * w
+    merged["_guards"] = guards
     return state, merged, dict(aicen_init=aicen_init,
                                vicen_init=vicen_init)
 
@@ -252,8 +265,16 @@ def _step_therm2(model: Model, state: State, grid: Grid, fluxes,
     """ITD conversions (``ice_step_mod.F90 step_therm2:239-516``)."""
     cfg, itd = model.cfg, model.itd
     if cfg.thermo.kitd == 1:
+        vice_before = jnp.sum(state.vicen, 0)
         state = therm_itd.linear_itd(state, itd, init["aicen_init"],
                                      init["vicen_init"])
+        if cfg.run.guards:
+            # column_conservation_check (ice_itd.F90:1409-1473), as
+            # called after linear_itd (ice_therm_itd.F90:330-360)
+            from cice4_tpu.guards import check_column_conservation
+            fluxes["_guards"]["column conservation: vice after "
+                              "linear_itd"] = check_column_conservation(
+                vice_before, jnp.sum(state.vicen, 0), grid.tmask)
     state, dg = therm_itd.add_new_ice(state, itd, cfg, dt,
                                       state.frzmlt, Tf, grid.tmask)
     fluxes["frazil"] = dg["frazil"]
@@ -306,7 +327,9 @@ def _step_dynamics(model: Model, state: State, grid: Grid, f: Forcing,
     state, rdg = mechred.ridge_ice(state, itd, cfg.dynamics, dt,
                                    dyn_diag["rdg_conv"],
                                    dyn_diag["rdg_shear"], grid.tmask,
-                                   aice0=aice0_adv)
+                                   aice0=aice0_adv, guards=cfg.run.guards)
+    if "_guard" in rdg:
+        fluxes["_guards"]["ridging: area sum != 1"] = rdg.pop("_guard")
     fluxes["fresh"] = fluxes["fresh"] + rdg["fresh"]
     fluxes["fhocn"] = fluxes["fhocn"] + rdg["fhocn"]
     for k in ("dardg1dt", "dardg2dt", "dvirdgdt", "opening"):
@@ -366,6 +389,14 @@ def _coupling_prep(model: Model, state: State, grid: Grid, f: Forcing,
     fluxes["coszen"] = sw["coszen"]
     fluxes["albice"] = jnp.sum(sw["albin"] * state.aicen, 0)
     fluxes["albsno"] = jnp.sum(sw["albsn"] * state.aicen, 0)
+
+    # grid-box-mean copies kept for the budget diagnostics before
+    # scale_fluxes divides by aice (the reference's fresh_gbm/fsalt_gbm/
+    # fhocn_gbm/fswthru_gbm, ice_flux.F90 + ice_diagnostics.F90:370-445)
+    for name in ("fresh", "fsalt", "fhocn", "fswthru", "evap",
+                 "fsens", "flwout", "fswabs", "flat", "fsurf"):
+        fluxes[name + "_gbm"] = fluxes[name]
+    fluxes["aice"] = aice
 
     # scale_fluxes (ice_flux.F90:776-888): divide the merged fluxes by
     # aice so the coupler receives per-unit-ice-area values; zero (or

@@ -177,7 +177,7 @@ def _ridge_shift(dyn: DynamicsConfig, itd: ItdParams, dt, carry,
 
 
 def ridge_ice(state: State, itd: ItdParams, dyn: DynamicsConfig, dt,
-              rdg_conv, rdg_shear, tmask, aice0=None):
+              rdg_conv, rdg_shear, tmask, aice0=None, guards=False):
     """Ridging driver (``ridge_ice:133-552``).
 
     aice0: advected open-water fraction from the transport step (its
@@ -233,6 +233,14 @@ def ridge_ice(state: State, itd: ItdParams, dyn: DynamicsConfig, dt,
 
     res = jax.lax.while_loop(cond, body, carry)
 
+    guard_rec = None
+    if guards:
+        # ridge_check (ice_mechred.F90:1788-1842): abort with the
+        # failing cell if the iteration did not close the area sum
+        from cice4_tpu.guards import check_ridge
+        asum_final = res["aice0"] + jnp.sum(res["aicen"], 0)
+        guard_rec = check_ridge(asum_final, tmask, res["done"])
+
     state = state.replace(aicen=res["aicen"], vicen=res["vicen"],
                           vsnon=res["vsnon"], eicen=res["eicen"],
                           esnon=res["esnon"], tsfcn=res["tsfcn"],
@@ -244,4 +252,6 @@ def ridge_ice(state: State, itd: ItdParams, dyn: DynamicsConfig, dt,
         fresh=res["msnow_mlt"] * dti, fhocn=res["esnow_mlt"] * dti,
         niter=res["niter"],
     )
+    if guard_rec is not None:
+        diag["_guard"] = guard_rec
     return state, diag
