@@ -316,9 +316,18 @@ def _step_dynamics(model: Model, state: State, grid: Grid, f: Forcing,
 
     if cfg.transport.advection == "remap":
         from cice4_tpu.ops.remap import transport_remap
-        state, aice0_adv = transport_remap(state, grid, dt,
-                                           cfg.transport.integral_order,
-                                           cfg.transport.l_dp_midpt)
+        tchecks = (cfg.transport.conservation_check
+                   or cfg.transport.monotonicity_check)
+        out = transport_remap(
+            state, grid, dt, cfg.transport.integral_order,
+            cfg.transport.l_dp_midpt, cfg.transport.l_fixed_area,
+            conservation_check=cfg.transport.conservation_check,
+            monotonicity_check=cfg.transport.monotonicity_check)
+        if tchecks:
+            state, aice0_adv, tguards = out
+            fluxes["_guards"].update(tguards)
+        else:
+            state, aice0_adv = out
     elif cfg.transport.advection == "upwind":
         state, aice0_adv = transport.transport_upwind(state, grid, dt)
     else:

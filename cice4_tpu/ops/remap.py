@@ -57,45 +57,44 @@ SHIFTS = {
 }
 
 
-def _shifted(field, edge, pos, bc):
-    """Field value at the flux cell `pos` relative to each edge cell."""
-    if edge == "north":
-        ops = {TL: lambda f: h.nbr_n(h.nbr_w(f, bc), bc),
-               BL: lambda f: h.nbr_w(f, bc),
-               TR: lambda f: h.nbr_ne(f, bc),
-               BR: lambda f: h.nbr_e(f, bc),
-               TC: lambda f: h.nbr_n(f, bc),
-               BC: lambda f: f}
-    else:
-        ops = {TL: lambda f: h.nbr_ne(f, bc),
-               BL: lambda f: h.nbr_n(f, bc),
-               TR: lambda f: h.nbr_e(h.nbr_s(f, bc), bc),
-               BR: lambda f: h.nbr_s(f, bc),
-               TC: lambda f: h.nbr_e(f, bc),
-               BC: lambda f: f}
-    return ops[pos](field)
+def _shift9(f, bc, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
+    """All 3x3 neighbor shifts of `f`, keyed by offset ``(di, dj)``
+    (di = +1 means the value one cell east, dj = +1 one cell north).
+
+    Shifts are built incrementally (x first, then y — the halo module's
+    composite order) so the 9 planes cost 8 roll ops total, shared by
+    every consumer instead of re-deriving composites per edge/position.
+    """
+    fe = h.nbr_e(f, bc, loc, ftype)
+    fw = h.nbr_w(f, bc, loc, ftype)
+    out = {(0, 0): f, (1, 0): fe, (-1, 0): fw}
+    for di, g in ((0, f), (1, fe), (-1, fw)):
+        out[(di, 1)] = h.nbr_n(g, bc, loc, ftype)
+        out[(di, -1)] = h.nbr_s(g, bc, loc, ftype)
+    return out
 
 
-def limited_gradient(phi, phimask, cnx, cny, bc):
-    """Van-Leer limited gradient on the scaled grid
+def _limited_gradient_shifted(phi, p9, m9, phimask, cnx, cny):
+    """Van-Leer limited gradient from pre-shifted neighbor tables
     (``limited_gradient:1392-1556`` with dxt = dyt = HTN = HTE = 1).
 
+    p9/m9: `_shift9` tables of phi and its mask — shared between
+    callers so one (stack-deep) set of rolls serves every gradient.
     cnx/cny: coordinates of the reference point the reconstruction is
-    centered on (e.g. center of mass).
+    centered on (e.g. center of mass); may broadcast against phi.
     """
-    def nb(dirfn):
-        m = dirfn(phimask, bc)
-        p = dirfn(phi, bc)
-        return m * p + (1.0 - m) * phi
+    def nb(off):
+        m = m9[off]
+        return m * p9[off] + (1.0 - m) * phi
 
-    phi_e = nb(h.nbr_e)
-    phi_w = nb(h.nbr_w)
-    phi_n = nb(h.nbr_n)
-    phi_s = nb(h.nbr_s)
-    phi_ne = nb(h.nbr_ne)
-    phi_nw = nb(h.nbr_nw)
-    phi_se = nb(h.nbr_se)
-    phi_sw = nb(h.nbr_sw)
+    phi_e = nb((1, 0))
+    phi_w = nb((-1, 0))
+    phi_n = nb((0, 1))
+    phi_s = nb((0, -1))
+    phi_ne = nb((1, 1))
+    phi_nw = nb((-1, 1))
+    phi_se = nb((1, -1))
+    phi_sw = nb((-1, -1))
 
     # reference: (phi_e-phi)/2 + (phi-phi_w)/2 = (phi_e - phi_w)/2
     gx = 0.5 * (phi_e - phi_w)
@@ -134,11 +133,15 @@ def limited_gradient(phi, phimask, cnx, cny, bc):
     return lim * gx, lim * gy
 
 
-def _edge_geometry(edge, grid: Grid, dx, dy):
+def _edge_geometry(edge, grid: Grid, dx, dy, edgearea=None):
     """Departure-triangle geometry for all edges of one direction
-    (``locate_triangles:1763-3146``, l_fixed_area = F, 0-based groups).
+    (``locate_triangles:1763-3146``, 0-based groups).
 
     dx/dy: scaled departure displacements at U corners (= -dt*u/dxu).
+    edgearea: prescribed signed area flux per edge (m^2) for the
+    ``l_fixed_area = T`` mode (``:2352-2487``): the trajectory midpoint
+    is shifted so the departure region has exactly this area.  None =
+    the default free-area mode.
     Returns per group g: verts[g] = (x1,y1,x2,y2,x3,y3) in edge-local
     coordinates, pos[g] (int code), fac[g] (signed physical area
     factor).  All arrays (ny, nx), indexed by the cell whose
@@ -249,6 +252,61 @@ def _edge_geometry(edge, grid: Grid, dx, dy):
     ydr2 = jnp.where(right, yir, ydr)
     icl = xic
     icr = xic
+
+    if edgearea is not None:
+        # l_fixed_area = T (":2352-2487"): shift the trajectory
+        # midpoint so the total departure-region area equals the
+        # prescribed edgearea; the corner triangles stay put.
+        def _area(g):
+            x1, y1, x2, y2, x3, y3 = verts[g]
+            return 0.5 * ((x2 - x1) * (y3 - y1)
+                          - (y2 - y1) * (x3 - x1)) * fac[g]
+
+        area123 = _area(0) + _area(1) + _area(2)
+
+        def safe(x):
+            return jnp.where(jnp.abs(x) > cn.puny, x,
+                             jnp.where(x >= 0, cn.puny, -cn.puny))
+
+        def _intersect(x_a, y_a, x_b, y_b):
+            """x-axis crossing of segment a->b (0 where ~horizontal)."""
+            m = (y_b - y_a) / safe(x_b - x_a)
+            return jnp.where(jnp.abs(m) > cn.puny, x_a - y_a / m, 0.0)
+
+        # branch 1: both DPs on the same side of the x-axis
+        area_c = edgearea - area123
+        w1 = (2.0 * area_c / afc + (xdr2 - xcl) * ydl2
+              + (xcr - xdl2) * ydr2)
+        w1 = w1 / safe((xdr2 - xdl2) ** 2 + (ydr2 - ydl2) ** 2)
+        xdm_1 = xdm + (ydr2 - ydl2) * w1
+        ydm_1 = ydm - (xdr2 - xdl2) * w1
+        xicl_1 = _intersect(xdl2, ydl2, xdm_1, ydm_1)
+        xicr_1 = _intersect(xdm_1, ydm_1, xdr2, ydr2)
+
+        # branch 2 (xic < 0): fix ICL at IC, adjust the right part
+        area4_2 = 0.5 * (xcl - xic) * ydl2 * afl
+        area_c = edgearea - area123 - area4_2
+        w1 = (2.0 * area_c / afc + (xcr - xic) * ydr2)
+        w1 = w1 / safe((xdr2 - xic) ** 2 + ydr2 ** 2)
+        xdm_2 = 0.5 * (xdr2 + xic) + ydr2 * w1
+        ydm_2 = 0.5 * ydr2 - (xdr2 - xic) * w1
+        xicr_2 = _intersect(xdm_2, ydm_2, xdr2, ydr2)
+
+        # branch 3 (xic >= 0): fix ICR at IC, adjust the left part
+        area4_3 = 0.5 * (xic - xcr) * ydr2 * afr
+        area_c = edgearea - area123 - area4_3
+        w1 = (2.0 * area_c / afc + (xic - xcl) * ydl2)
+        w1 = w1 / safe((xic - xdl2) ** 2 + ydl2 ** 2)
+        xdm_3 = 0.5 * (xic + xdl2) - ydl2 * w1
+        ydm_3 = 0.5 * ydl2 - (xic - xdl2) * w1
+        xicl_3 = _intersect(xdl2, ydl2, xdm_3, ydm_3)
+
+        same = ydl2 * ydr2 >= 0.0
+        neg = xic < 0.0
+        xdm = jnp.where(same, xdm_1, jnp.where(neg, xdm_2, xdm_3))
+        ydm = jnp.where(same, ydm_1, jnp.where(neg, ydm_2, ydm_3))
+        icl = jnp.where(same, xicl_1, jnp.where(neg, xic, xicl_3))
+        icr = jnp.where(same, xicr_1, jnp.where(neg, xicr_2, xic))
 
     # ---- center triangles (groups 3, 4, 5) --------------------------------
     dlp = ydl2 >= 0.0
@@ -385,8 +443,10 @@ def _construct(mm, hm_real, tm, meta, bc):
     par2 = [meta[k][2] for k in idx2]
 
     mmask = (mm > cn.puny).astype(mm.dtype)
-    mx, my = limited_gradient(mm, hm_real, jnp.zeros_like(mm),
-                              jnp.zeros_like(mm), bc)
+    zero = jnp.zeros_like(mm)
+    mm9 = _shift9(mm, bc)
+    hm9 = _shift9(hm_real, bc)
+    mx, my = _limited_gradient_shifted(mm, mm9, hm9, hm_real, zero, zero)
     mc = mm
     safe_mm = jnp.maximum(mm, cn.puny)
     mxav = jnp.where(mmask > 0, mx / (12.0 * safe_mm), 0.0)
@@ -394,10 +454,21 @@ def _construct(mm, hm_real, tm, meta, bc):
 
     tmask = (jnp.abs(tm) > 0.0).astype(mm.dtype) * mmask[None]
 
-    # type-1 tracers: batched gradient about the center of mass
-    tm1 = tm[jnp.asarray(idx1)] if idx1 else tm[:0]
-    tx1, ty1 = limited_gradient(tm1, jnp.broadcast_to(mmask, tm1.shape),
-                                mxav[None], myav[None], bc)
+    # one set of 8 rolls serves every tracer gradient: the full stack
+    # is shifted once, and shifted MASKS are derived from the shifted
+    # fields (exact: open/closed ghost fill is 0, cyclic/tripole are
+    # permutations, so mask(shift(f)) == shift(mask(f)))
+    tm9 = _shift9(tm, bc)
+    mmask9 = {off: (v > cn.puny).astype(mm.dtype)
+              for off, v in mm9.items()}
+
+    # type-1 tracers: batched gradient about the center of mass (the
+    # 2-D mass mask/center broadcast against the stack)
+    a1 = jnp.asarray(idx1) if idx1 else None
+    tm1 = tm[a1] if idx1 else tm[:0]
+    tm1_9 = {off: (v[a1] if idx1 else v[:0]) for off, v in tm9.items()}
+    tx1, ty1 = _limited_gradient_shifted(tm1, tm1_9, mmask9, mmask,
+                                         mxav, myav)
     tc1 = tm1 - tx1 * mxav[None] - ty1 * myav[None]
 
     # centers of mass*tracer for rows with dependents
@@ -415,11 +486,17 @@ def _construct(mm, hm_real, tm, meta, bc):
         # map parent row index in `meta` -> row in the type-1 stack
         row1_of = {k: r for r, k in enumerate(idx1)}
         par_rows = jnp.asarray([row1_of[p] for p in par2])
-        tm2 = tm[jnp.asarray(idx2)]
-        pmask = tmask[jnp.asarray(par2)]
+        a2 = jnp.asarray(idx2)
+        ap = jnp.asarray(par2)
+        tm2 = tm[a2]
+        tm2_9 = {off: v[a2] for off, v in tm9.items()}
+        pmask = tmask[ap]
+        pmask9 = {off: (jnp.abs(v[ap]) > 0.0).astype(mm.dtype)
+                  * mmask9[off] for off, v in tm9.items()}
         pmx = mtxav1[par_rows]
         pmy = mtyav1[par_rows]
-        tx2, ty2 = limited_gradient(tm2, pmask, pmx, pmy, bc)
+        tx2, ty2 = _limited_gradient_shifted(tm2, tm2_9, pmask9, pmask,
+                                             pmx, pmy)
         tc2 = tm2 - tx2 * pmx - ty2 * pmy
     else:
         tx2 = ty2 = tc2 = tm[:0]
@@ -443,101 +520,222 @@ def _construct(mm, hm_real, tm, meta, bc):
     return mc, mx, my, tc, tx, ty
 
 
-def _edge_integrals(edge, geom, mc, mx, my, tc, tx, ty, meta, bc, order):
-    """Batched mass and mass*tracer fluxes across one edge direction
-    (``transport_integrals:3307-3632``).  Tracer arrays (T, ny, nx).
+# all 9 donor offsets a flux divergence can draw from (union of the
+# 6 edge positions of both edges and their upstream-shifted twins)
+ALL_OFFSETS = tuple((di, dj) for dj in (1, 0, -1) for di in (-1, 0, 1))
 
-    TPU restructuring: the reference (and a naive translation) gathers
-    the reconstruction coefficients of the flux-donor cell *per triangle
-    group* and sums mass*tracer quadrature per group — O(ngroups * T)
-    tracer-deep planes of traffic.  Because every group's donor cell is
-    one of 6 static positions, the triangle quadrature moments can
-    instead be accumulated into per-*position* weight planes
-    (6 positions x 6 moments, tracer-independent), after which the
-    tracer flux is a single weighted sum over positions — O(npos * T)
-    with a ~4x smaller constant.  Pure reassociation of the same sums.
+
+def _geom_moments(edge, grid: Grid, dx, dy, order, edgearea=None):
+    """Category-independent quadrature moments per donor position
+    (``transport_integrals:3307-3632``, factored).
+
+    TPU restructuring (round 3): the reference (and round 2's code)
+    folds the *mass* reconstruction into the triangle quadrature, so
+    the moment planes had to be recomputed per category.  The mass and
+    tracer reconstructions are linear, so the quadrature factorizes:
+    accumulate the pure GEOMETRIC moments ``Σ_tri area·w·x^a y^b`` (all
+    10 monomials up to cubic) per donor position ONCE, then each
+    category's mass-weighted moments are 3-term contractions of these
+    planes with its shifted mass coefficients.  Exact reassociation of
+    the same quadrature sums.
+
+    Returns {pos: [S1, Sx, Sy, Sxx, Sxy, Syy, Sxxx, Sxxy, Sxyy, Syyy]}.
     """
-    idx2 = [k for k, (_, tt, _p) in enumerate(meta) if tt == 2]
-    T = len(meta)
-
-    # shifted copies only for positions some group can use
+    geom = _edge_geometry(edge, grid, dx, dy, edgearea)
     used = sorted({p for ps in GROUP_POSITIONS for p in ps})
-
-    def shift6(f):
-        return {p: _shifted(f, edge, p, bc) for p in used}
-
-    mc6 = shift6(mc)
-    mx6 = shift6(mx)
-    my6 = shift6(my)
-
-    # per-position accumulated quadrature moments (x area): order is
-    # (m, mx, my, mxx, mxy, myy)
-    W = {p: [0.0] * 6 for p in used}
-    mflx = 0.0
-
+    G = {p: [0.0] * 10 for p in used}
     for g in range(NGROUPS):
         lx, ly = geom["verts"][g]
         pos = geom["pos"][g]
         area = geom["triarea"][g]
-        cands = GROUP_POSITIONS[g]
-
-        def gather(f6):
-            out = f6[cands[-1]]
-            for p in cands[:-1]:
-                out = jnp.where(pos == p, f6[p], out)
-            return out
-
-        mcg = gather(mc6)
-        mxg = gather(mx6)
-        myg = gather(my6)
-
         pts = _quad_points(lx, ly, order)
-        moms = [0.0] * 6
+        mono = [0.0] * 10
         for (px, py, w) in pts:
-            mq = w * (mcg + px * mxg + py * myg)
-            moms[0] = moms[0] + mq
-            moms[1] = moms[1] + mq * px
-            moms[2] = moms[2] + mq * py
-            moms[3] = moms[3] + mq * px * px
-            moms[4] = moms[4] + mq * px * py
-            moms[5] = moms[5] + mq * py * py
-        mflx = mflx + area * moms[0]
+            pxx, pxy, pyy = px * px, px * py, py * py
+            for k, v in enumerate((w, w * px, w * py, w * pxx, w * pxy,
+                                   w * pyy, w * pxx * px, w * pxx * py,
+                                   w * pxy * py, w * pyy * py)):
+                mono[k] = mono[k] + v
+        for p in GROUP_POSITIONS[g]:
+            ag = jnp.where(pos == p, area, 0.0)
+            acc = G[p]
+            for k in range(10):
+                acc[k] = acc[k] + ag * mono[k]
+    return G
 
-        if T:
-            for p in cands:
-                sel = pos == p
-                acc = W[p]
-                for k in range(6):
-                    acc[k] = acc[k] + jnp.where(sel, area * moms[k], 0.0)
+
+def _mass_moments(edge, G, mc9, mx9, my9):
+    """Mass-weighted quadrature moments per donor position for one
+    category: W[p] = (Wm, Wx, Wy, Wxx, Wxy, Wyy) where
+    ``W_ab = Σ_tri area·w·x^a y^b·(mc + x·mx + y·my)`` at the donor.
+    mc9/mx9/my9: `_shift9` tables of the mass reconstruction planes.
+    """
+    W = {}
+    for p, g in G.items():
+        off = SHIFTS[edge][p]
+        mc, mx, my = mc9[off], mx9[off], my9[off]
+        W[p] = (g[0] * mc + g[1] * mx + g[2] * my,
+                g[1] * mc + g[3] * mx + g[4] * my,
+                g[2] * mc + g[4] * mx + g[5] * my,
+                g[3] * mc + g[6] * mx + g[7] * my,
+                g[4] * mc + g[7] * mx + g[8] * my,
+                g[5] * mc + g[8] * mx + g[9] * my)
+    return W
+
+
+def _acc_divergence(A, W, edge, bc):
+    """Fold one edge direction's moment planes into the per-donor-offset
+    divergence accumulators.
+
+    The flux divergence at cell c is ``mtf(c) - mtf(c-ê)`` summed over
+    both edge directions; instead of materializing (and then shifting)
+    the T-deep edge fluxes, each moment plane is scattered into A at
+    its donor offset with +, and its west/south-shifted copy at
+    ``offset - ê`` with −.  The tracer contraction then touches each
+    shifted tracer stack exactly once.  Pure reassociation — each
+    product W·coef still appears with + at one cell and − at its
+    neighbor, so conservation is exact.
+    """
+    if edge == "east":
+        back, bo = (lambda f: h.nbr_w(f, bc)), (-1, 0)
+    else:
+        back, bo = (lambda f: h.nbr_s(f, bc)), (0, -1)
+    for p, w6 in W.items():
+        d = SHIFTS[edge][p]
+        g2 = (d[0] + bo[0], d[1] + bo[1])
+        accp, accm = A[d], A[g2]
+        for k in range(6):
+            accp[k] = accp[k] + w6[k]
+            accm[k] = accm[k] - back(w6[k])
+
+
+def _flux_divergence(G_e, G_n, mc, mx, my, tc, tx, ty, meta, bc):
+    """Mass and mass·tracer flux divergence (pre-1/tarea) for one
+    category (``transport_integrals`` + the update differences of
+    ``update_fields:3642-3868``, reassociated — see `_acc_divergence`).
+
+    Returns (div, divt) with divt of shape (T, ny, nx).
+    """
+    T = len(meta)
+    mc9 = _shift9(mc, bc)
+    mx9 = _shift9(mx, bc)
+    my9 = _shift9(my, bc)
+
+    A = {off: [0.0] * 6 for off in ALL_OFFSETS}
+    for edge, G in (("east", G_e), ("north", G_n)):
+        _acc_divergence(A, _mass_moments(edge, G, mc9, mx9, my9), edge, bc)
+
+    div = 0.0
+    for off in ALL_OFFSETS:
+        div = div + A[off][0]
 
     if not T:
-        shape = (0,) + (mflx.shape if hasattr(mflx, "shape") else ())
-        return mflx, jnp.zeros(shape, mc.dtype)
+        return div, jnp.zeros((0,) + mc.shape, mc.dtype)
 
+    idx2 = [k for k, (_, tt, _p) in enumerate(meta) if tt == 2]
     if idx2:
         a2 = jnp.asarray(idx2)
         ap = jnp.asarray([meta[k][2] for k in idx2])
 
-    mtflx = 0.0
-    for p in used:
-        tcp = _shifted(tc, edge, p, bc)
-        txp = _shifted(tx, edge, p, bc)
-        typ = _shifted(ty, edge, p, bc)
-        wm, wx, wy, wxx, wxy, wyy = W[p]
-        # type-1 rows: Σ_tri area * (m·tc + mx·tx + my·ty)
+    tc9 = _shift9(tc, bc)
+    tx9 = _shift9(tx, bc)
+    ty9 = _shift9(ty, bc)
+
+    divt = 0.0
+    for off in ALL_OFFSETS:
+        wm, wx, wy, wxx, wxy, wyy = A[off]
+        tcp, txp, typ = tc9[off], tx9[off], ty9[off]
+        # type-1 rows: Σ area·(m·tc + mx·tx + my·ty) at the donor
         mts = wm[None] * tcp + wx[None] * txp + wy[None] * typ
         if idx2:
-            # type-2 rows: Σ_tri area * (mt_par·tc2 + mtx_par·tx2
-            # + mty_par·ty2) with the parent moments at the same position
+            # type-2 rows ride on the parent: moments of m·t_parent
             pc, px_, py_ = tcp[ap], txp[ap], typ[ap]
             g0 = wm[None] * pc + wx[None] * px_ + wy[None] * py_
             g1 = wx[None] * pc + wxx[None] * px_ + wxy[None] * py_
             g2 = wy[None] * pc + wxy[None] * px_ + wyy[None] * py_
             mts = mts.at[a2].set(
                 g0 * tcp[a2] + g1 * txp[a2] + g2 * typ[a2])
-        mtflx = mtflx + mts
+        divt = divt + mts
+    return div, divt
 
-    return mflx, mtflx
+
+def _local_max_min(mm, tm, meta, bc):
+    """Quasilocal tracer bounds before transport
+    (``ice_transport_driver.F90 local_max_min:1230-1345`` +
+    ``quasilocal_max_min:1360-1410``): per tracer, the min/max over the
+    3x3 neighborhood (masked cells contribute the home value), then
+    extended one more ring — remapping is monotone for the quasilocal
+    bounds."""
+    # mm: (ncat, ny, nx); tm: (ncat, T, ny, nx)
+    aimask = (mm > cn.puny).astype(mm.dtype)[:, None]
+    tmask = (jnp.abs(tm) > 0.0).astype(mm.dtype) * aimask
+    # per-row mask: aimask for type-1, parent tracer mask for type-2
+    par = jnp.asarray([max(p, 0) for (_n, _t, p) in meta])
+    is2 = jnp.asarray([t == 2 for (_n, t, _p) in meta])[:, None, None]
+    phimask = jnp.where(is2, tmask[:, par], aimask)
+
+    m9 = _shift9(phimask, bc)
+    p9 = _shift9(tm, bc)
+    tmin = tm
+    tmax = tm
+    for off in ALL_OFFSETS:
+        if off == (0, 0):
+            continue
+        v = m9[off] * p9[off] + (1.0 - m9[off]) * tm
+        tmin = jnp.minimum(tmin, v)
+        tmax = jnp.maximum(tmax, v)
+    # quasilocal extension: one more ring of plain min/max
+    lo9 = _shift9(tmin, bc)
+    hi9 = _shift9(tmax, bc)
+    for off in ALL_OFFSETS:
+        tmin = jnp.minimum(tmin, lo9[off])
+        tmax = jnp.maximum(tmax, hi9[off])
+    return tmin, tmax
+
+
+def _check_monotonicity(tmin, tmax, mm_new, tm_new, meta):
+    """``check_monotonicity:1416-1559``: new tracer values must lie
+    within the pre-transport quasilocal bounds.  Returns a guard
+    record (see :mod:`cice4_tpu.guards`)."""
+    from cice4_tpu.guards import record
+    # mm_new: (ncat, ny, nx); tm_new/tmin/tmax: (ncat, T, ny, nx)
+    par = jnp.asarray([max(p, 0) for (_n, _t, p) in meta])
+    is2 = jnp.asarray([t == 2 for (_n, t, _p) in meta])[:, None, None]
+    l_check = jnp.where(is2, jnp.abs(tm_new[:, par]) > cn.puny,
+                        (mm_new > cn.puny)[:, None])
+    # allow roundoff where |trm| is big; scale the reference's f64 puny
+    # up for f32 state (division noise is ~1e-7 relative)
+    eps = cn.puny if jnp.finfo(tm_new.dtype).bits >= 64 else 1.0e-4
+    w1 = jnp.maximum(1.0, jnp.abs(tmin))
+    w2 = jnp.maximum(1.0, jnp.abs(tmax))
+    err = jnp.maximum(tmin - tm_new, tm_new - tmax)
+    bad = l_check & ((tm_new < tmin - w1 * eps)
+                     | (tm_new > tmax + w2 * eps))
+    return record(bad, jnp.where(bad, err, 0.0))
+
+
+def _check_global_conservation(masum0, masum1, mtsum0, mtsum1):
+    """``global_conservation:1147-1218``: global sums of mass (per
+    category + open water) and mass*tracer (per category, per tracer)
+    must be unchanged by transport.  As in the reference, the final
+    sums are taken MID-transport — after ``update_fields`` but before
+    the clamping in ``tracers_to_state`` (driver ``:563-610`` runs the
+    check on aim/trm before ``tracers_to_state:1012``).  Relative puny
+    tolerance; the reference assumes float64 — in float32 the
+    global-sum representation noise alone is ~1e-7 relative, so the
+    threshold is lifted.  Returns a guard record (scalar; j/i are
+    meaningless 0)."""
+    eps = cn.puny if jnp.finfo(masum0.dtype).bits >= 64 else 1.0e-4
+    rel_m = jnp.abs(masum1 - masum0) / jnp.maximum(masum0, cn.puny)
+    bad_m = (masum0 > cn.puny) & (rel_m > eps)
+    rel = jnp.abs(mtsum1 - mtsum0) / jnp.maximum(jnp.abs(mtsum0), cn.puny)
+    bad_t = (jnp.abs(mtsum0) > cn.puny) & (rel > eps)
+    worst = jnp.maximum(
+        jnp.max(jnp.where(bad_t, rel, 0.0)),
+        jnp.max(jnp.where(bad_m, rel_m, 0.0)))
+    count = jnp.sum(bad_t) + jnp.sum(bad_m)
+    zero = jnp.zeros((), jnp.int32)
+    return dict(count=count.astype(jnp.int32), j=zero, i=zero, worst=worst)
 
 
 def _departure_midpoint(uvel, vvel, dx, dy, dt, grid: Grid, bc):
@@ -593,18 +791,19 @@ def _departure_midpoint(uvel, vvel, dx, dy, dt, grid: Grid, bc):
     return dx_new, dy_new
 
 
-def _remap_category(mm, tm, hm_real, tmask_land, tarear, geom_e, geom_n,
-                    meta, bc, order):
-    """Advect one category: reconstruction, integrals, update.
+def _remap_category(mm, tm, hm_real, tmask_land, tarear, G_e, G_n,
+                    meta, bc, want_mid=False):
+    """Advect one category: reconstruction, flux divergence, update.
 
-    mm: (ny, nx) area; tm: (T, ny, nx) tracers.
-    Returns (mm_new, tm_new).
+    mm: (ny, nx) area; tm: (T, ny, nx) tracers.  G_e/G_n: the shared
+    geometric moment planes (`_geom_moments`).
+    Returns (mm_new, tm_new) — plus the unclamped mid-transport
+    (mm_mid, mt_mid) fields when `want_mid` (for the reference's
+    pre-``tracers_to_state`` conservation check).
     """
     mc, mx, my, tc, tx, ty = _construct(mm, hm_real, tm, meta, bc)
-    mfe, mtfe = _edge_integrals("east", geom_e, mc, mx, my, tc, tx, ty,
-                                meta, bc, order)
-    mfn, mtfn = _edge_integrals("north", geom_n, mc, mx, my, tc, tx, ty,
-                                meta, bc, order)
+    div, divt = _flux_divergence(G_e, G_n, mc, mx, my, tc, tx, ty,
+                                 meta, bc)
 
     # update_fields (":3642-3868")
     par = jnp.asarray([max(p, 0) for (_n, _t, p) in meta])
@@ -612,14 +811,14 @@ def _remap_category(mm, tm, hm_real, tmask_land, tarear, geom_e, geom_n,
                        for (_n, t, _p) in meta])[:, None, None]
     mtold = mm[None] * tm * jnp.where(is2 > 0, tm[par], 1.0)
 
-    div = (mfe - h.nbr_w(mfe, bc) + mfn - h.nbr_s(mfn, bc)) * tarear
-    mm_new = jnp.maximum(mm - div, 0.0)
+    div = div * tarear
+    mm_mid = mm - div
+    mm_new = jnp.maximum(mm_mid, 0.0)
     mm_new = jnp.where(tmask_land, mm_new, 0.0)
     pos_m = mm_new > 0.0
     safe = jnp.maximum(mm_new, cn.puny)
 
-    divt = (mtfe - h.nbr_w(mtfe, bc) + mtfn - h.nbr_s(mtfn, bc)) \
-        * tarear[None]
+    divt = divt * tarear[None]
     mt = mtold - divt
     t1 = jnp.where(pos_m[None], mt / safe[None], 0.0)
     # type-2: divide by (mm * parent); parents (hi, hs) are nonnegative
@@ -627,15 +826,22 @@ def _remap_category(mm, tm, hm_real, tmask_land, tarear, geom_e, geom_n,
     t2 = jnp.where(pos_m[None] & (pv > 0.0),
                    mt / jnp.maximum(mm_new[None] * pv, cn.puny), 0.0)
     tm_new = jnp.where(is2 > 0, t2, t1)
+    if want_mid:
+        return mm_new, tm_new, (mm_mid, mt)
     return mm_new, tm_new
 
 
 def transport_remap(state: State, grid: Grid, dt,
-                    integral_order: int = 2, dp_midpt: bool = False):
+                    integral_order: int = 2, dp_midpt: bool = False,
+                    fixed_area: bool = False,
+                    conservation_check: bool = False,
+                    monotonicity_check: bool = False):
     """Full incremental-remapping advection of the ice state.
 
     Returns (state, aice0) — the advected open-water fraction feeds the
-    ridging opening/closing rates.
+    ridging opening/closing rates — plus a guard-record dict as a third
+    element when `conservation_check` or `monotonicity_check` is set
+    (``ice_transport_driver.F90:596-648``).
     """
     bc = grid.bc
     ncat = state.ncat
@@ -651,8 +857,21 @@ def transport_remap(state: State, grid: Grid, dt,
         dx, dy = _departure_midpoint(state.uvel, state.vvel, dx, dy, dt,
                                      grid, bc)
 
-    geom_e = _edge_geometry("east", grid, dx, dy)
-    geom_n = _edge_geometry("north", grid, dx, dy)
+    if fixed_area:
+        # l_fixed_area = T: prescribe the signed area flux across each
+        # edge from the edge-mean normal velocity
+        # (``ice_transport_driver.F90:474-509``)
+        kw = dict(loc=FieldLoc.NE_CORNER, ftype=FieldType.VECTOR)
+        ea_e = (state.uvel + h.nbr_s(state.uvel, bc, **kw)) \
+            * 0.5 * grid.hte * dt
+        ea_n = (state.vvel + h.nbr_w(state.vvel, bc, **kw)) \
+            * 0.5 * grid.htn * dt
+    else:
+        ea_e = ea_n = None
+
+    # category-independent geometric moment planes, computed once
+    G_e = _geom_moments("east", grid, dx, dy, integral_order, ea_e)
+    G_n = _geom_moments("north", grid, dx, dy, integral_order, ea_n)
 
     # --- state_to_tracers (driver ":847-1003") -----------------------------
     aice0 = jnp.maximum(1.0 - jnp.sum(state.aicen, 0), 0.0)
@@ -676,22 +895,46 @@ def transport_remap(state: State, grid: Grid, dt,
     # --- advect open water (mass only); feeds ridging ----------------------
     empty = jnp.zeros((0,) + aice0.shape, aice0.dtype)
     mc0, mx0, my0, _tc, _tx, _ty = _construct(aice0, grid.hm, empty, [], bc)
-    mflx0_e, _ = _edge_integrals("east", geom_e, mc0, mx0, my0,
-                                 empty, empty, empty, [], bc,
-                                 integral_order)
-    mflx0_n, _ = _edge_integrals("north", geom_n, mc0, mx0, my0,
-                                 empty, empty, empty, [], bc,
-                                 integral_order)
-    aice0_new = aice0 - (mflx0_e - h.nbr_w(mflx0_e, bc)
-                         + mflx0_n - h.nbr_s(mflx0_n, bc)) * grid.tarear
-    aice0_new = jnp.where(grid.tmask, jnp.maximum(aice0_new, 0.0), 0.0)
+    div0, _ = _flux_divergence(G_e, G_n, mc0, mx0, my0,
+                               empty, empty, empty, [], bc)
+    aice0_mid = aice0 - div0 * grid.tarear
+    aice0_new = jnp.where(grid.tmask, jnp.maximum(aice0_mid, 0.0), 0.0)
 
     # --- advect every category (vmapped) -----------------------------------
-    mm_new, tm_new = jax.vmap(
+    out = jax.vmap(
         lambda mmn, tmn: _remap_category(mmn, tmn, grid.hm, grid.tmask,
-                                         grid.tarear, geom_e, geom_n,
-                                         meta, bc, integral_order)
+                                         grid.tarear, G_e, G_n, meta, bc,
+                                         want_mid=conservation_check)
     )(state.aicen, tm)
+    if conservation_check:
+        mm_new, tm_new, (mm_mid, mt_mid) = out
+    else:
+        mm_new, tm_new = out
+
+    guards = {}
+    if monotonicity_check:
+        tmin, tmax = _local_max_min(state.aicen, tm, meta, bc)
+        guards["transport monotonicity"] = _check_monotonicity(
+            tmin, tmax, mm_new, tm_new, meta)
+    if conservation_check:
+        # per-category mass (open water = row 0, as the reference's
+        # asum(0)) and per-(category, tracer) mass*tracer sums; final
+        # sums mid-transport, pre-clamp (driver ":563-610")
+        ta = grid.tarea
+        masum0 = jnp.concatenate(
+            [jnp.sum(aice0 * ta)[None],
+             jnp.sum(state.aicen * ta, axis=(1, 2))])
+        masum1 = jnp.concatenate(
+            [jnp.sum(aice0_mid * ta)[None],
+             jnp.sum(mm_mid * ta, axis=(1, 2))])
+        par = jnp.asarray([max(p, 0) for (_n, _t, p) in meta])
+        is2 = jnp.asarray([1.0 if t == 2 else 0.0
+                           for (_n, t, _p) in meta])[:, None, None]
+        mt0 = state.aicen[:, None] * tm * jnp.where(is2 > 0, tm[:, par], 1.0)
+        mtsum0 = jnp.sum(mt0 * ta, axis=(2, 3))
+        mtsum1 = jnp.sum(mt_mid * ta, axis=(2, 3))
+        guards["transport global conservation"] = \
+            _check_global_conservation(masum0, masum1, mtsum0, mtsum1)
 
     # --- tracers_to_state (driver ":1012-1137") ----------------------------
     a = mm_new
@@ -715,4 +958,6 @@ def transport_remap(state: State, grid: Grid, dt,
     state = state.replace(aicen=a, vicen=a * hi_n, vsnon=a * hs_n,
                           tsfcn=tsfcn, eicen=eicen, esnon=esnon,
                           trcrn=trcrn)
+    if conservation_check or monotonicity_check:
+        return state, aice0_new, guards
     return state, aice0_new
