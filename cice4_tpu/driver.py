@@ -158,7 +158,8 @@ class IceModelRun:
                 self.state = self._restore(self.state)
             cal.advance()
             with self.timers("History"):
-                self.history.accumulate(self.state, fluxes)
+                self.history.accumulate(self.state, fluxes, forcing=f,
+                                        yday=cal.yday, dt=cfg.run.dt)
                 for p in self.history.write_due(cal):
                     self.log(f"wrote history {p}")
             if diag_step:

@@ -40,10 +40,18 @@ class HistField:
     # field class (ice_history.F90:87-115): "2D" (ny, nx), "3Dc"
     # (ncat, ny, nx), "4Di" (nilyr, ncat, ny, nx), "4Ds" (nslyr, ...)
     dims: str = "2D"
+    # False = snapshot field (hisnap/aisnap/mlt_onset...): the stream
+    # keeps the latest value instead of a time mean
+    avg: bool = True
 
 
 def _flux(name, scale=1.0):
     return lambda s, fx, agg: fx[name] * scale if name in fx else None
+
+
+def _trcr(name):
+    """Cell-mean tracer from the aggregate (iage/alvl/vlvl/volpn)."""
+    return lambda s, fx, agg: agg["trcr"].get(name)
 
 
 def default_fields(itd=None) -> dict[str, HistField]:
@@ -74,8 +82,7 @@ def default_fields(itd=None) -> dict[str, HistField]:
           lambda s, fx, agg: s.sst),
         F("frzmlt", "W/m^2", "freeze/melt potential",
           lambda s, fx, agg: s.frzmlt),
-        F("sig1", "1", "norm. principal stress 1",
-          lambda s, fx, agg: None),  # filled by diag hook
+        F("sig1", "1", "norm. principal stress 1", _flux("sig1")),
         F("strength", "N/m", "compressive ice strength", _flux("strength")),
         F("divu", "%/day", "strain rate (divergence)",
           _flux("divu", 100.0 * 86400.0)),
@@ -135,8 +142,109 @@ def default_fields(itd=None) -> dict[str, HistField]:
         F("fsurf_ai", "W/m^2", "net surface heat flux", _flux("fsurf")),
         F("fcondtop_ai", "W/m^2", "top surface conductive flux",
           _flux("fcondtop")),
+        F("fmeltt_ai", "W/m^2", "top melt heat flux",
+          lambda s, fx, agg: (jnp.sum(fx["fmelttn_ai"], 0)
+                              * cn.rhoi * cn.Lfresh / fx.get("_dt", 3600.0)
+                              if "fmelttn_ai" in fx else None)),
         F("icepresent", "1", "fraction of time-avg with ice",
           lambda s, fx, agg: (agg["aice"] > cn.puny).astype(s.sst.dtype)),
+        # --- forcing echoes (driver injects them into `fluxes`) ------------
+        F("fswdn", "W/m^2", "down solar flux", _flux("fswdn")),
+        F("flwdn", "W/m^2", "down longwave flux", _flux("flwdn")),
+        F("snow", "cm/day", "snowfall rate",
+          _flux("snow", cn.mps_to_cmpdy / cn.rhofresh)),
+        F("snow_ai", "cm/day", "snowfall rate (x aice)",
+          lambda s, fx, agg: (fx["snow"] * agg["aice"]
+                              * cn.mps_to_cmpdy / cn.rhofresh
+                              if "snow" in fx else None)),
+        F("rain", "cm/day", "rainfall rate",
+          _flux("rain", cn.mps_to_cmpdy / cn.rhofresh)),
+        F("rain_ai", "cm/day", "rainfall rate (x aice)",
+          lambda s, fx, agg: (fx["rain"] * agg["aice"]
+                              * cn.mps_to_cmpdy / cn.rhofresh
+                              if "rain" in fx else None)),
+        F("sss", "ppt", "sea surface salinity", _flux("sss")),
+        F("uocn", "m/s", "ocean current (x)", _flux("uocn")),
+        F("vocn", "m/s", "ocean current (y)", _flux("vocn")),
+        F("Tair", "K", "air temperature", _flux("Tair")),
+        F("fswfac", "1", "shortwave scaling factor",
+          lambda s, fx, agg: s.scale_factor),
+        # --- "_ai" grid-box-mean variants (flux x ice area; the merged
+        # fluxes are grid-box means until scale_fluxes divides by aice,
+        # so the _gbm copies are exactly the reference's _ai fields) ---
+        F("fswabs_ai", "W/m^2", "snow/ice/ocn absorbed solar flux (x aice)",
+          _flux("fswabs_gbm")),
+        F("flwup_ai", "W/m^2", "upward longwave flux (x aice)",
+          _flux("flwout_gbm")),
+        F("fsens_ai", "W/m^2", "sensible heat flux (x aice)",
+          _flux("fsens_gbm")),
+        F("flat_ai", "W/m^2", "latent heat flux (x aice)",
+          _flux("flat_gbm")),
+        F("evap_ai", "cm/day", "evaporative water flux (x aice)",
+          _flux("evap_gbm", cn.mps_to_cmpdy / cn.rhofresh)),
+        F("fresh_ai", "cm/day", "freshwater flux ice-ocean (x aice)",
+          _flux("fresh_gbm", cn.mps_to_cmpdy / cn.rhofresh)),
+        F("fsalt_ai", "kg/m^2/day", "salt flux ice-ocean (x aice)",
+          _flux("fsalt_gbm", 86400.0)),
+        F("fhocn_ai", "W/m^2", "heat flux ice-ocean (x aice)",
+          _flux("fhocn_gbm")),
+        F("fswthru_ai", "W/m^2", "SW thru ice to ocean (x aice)",
+          _flux("fswthru_gbm")),
+        # --- dynamics stress decomposition (U grid) ------------------------
+        F("strtltx", "N/m^2", "sea-surface-tilt stress (x)",
+          _flux("strtltx")),
+        F("strtlty", "N/m^2", "sea-surface-tilt stress (y)",
+          _flux("strtlty")),
+        F("strcorx", "N/m^2", "Coriolis stress (x)", _flux("strcorx")),
+        F("strcory", "N/m^2", "Coriolis stress (y)", _flux("strcory")),
+        F("strintx", "N/m^2", "internal stress divergence (x)",
+          _flux("strintx")),
+        F("strinty", "N/m^2", "internal stress divergence (y)",
+          _flux("strinty")),
+        F("sig2", "1", "norm. principal stress 2", _flux("sig2")),
+        F("trsig", "N/m^2", "internal stress tensor trace",
+          _flux("trsig")),
+        # --- tendencies ----------------------------------------------------
+        F("daidtt", "%/day", "area tendency, thermo",
+          _flux("daidtt", 100.0 * 86400.0)),
+        F("daidtd", "%/day", "area tendency, dynamics",
+          _flux("daidtd", 100.0 * 86400.0)),
+        F("dvidtt", "cm/day", "volume tendency, thermo",
+          _flux("dvidtt", cn.mps_to_cmpdy)),
+        F("dvidtd", "cm/day", "volume tendency, dynamics",
+          _flux("dvidtd", cn.mps_to_cmpdy)),
+        # --- snapshots + onsets (not time-averaged) ------------------------
+        F("hisnap", "m", "ice volume snapshot",
+          lambda s, fx, agg: agg["vice"], avg=False),
+        F("aisnap", "1", "ice area snapshot",
+          lambda s, fx, agg: agg["aice"], avg=False),
+        F("mlt_onset", "day of year", "melt onset date",
+          _flux("mlt_onset"), avg=False),
+        F("frz_onset", "day of year", "freeze onset date",
+          _flux("frz_onset"), avg=False),
+        # --- albedo composites ---------------------------------------------
+        F("albsni", "%", "snow/ice broadband albedo",
+          lambda s, fx, agg: (100.0 * (cn.awtvdr * fx["alvdr"]
+                                       + cn.awtidr * fx["alidr"]
+                                       + cn.awtvdf * fx["alvdf"]
+                                       + cn.awtidf * fx["alidf"])
+                              if "alvdr" in fx else None)),
+        F("albpnd", "1", "melt pond albedo", _flux("albpnd")),
+        # --- tracer means --------------------------------------------------
+        F("iage", "years", "ice age",
+          lambda s, fx, agg: (agg["trcr"]["iage"] / (86400.0 * 365.0)
+                              if "iage" in agg["trcr"] else None)),
+        F("alvl", "1", "level ice area fraction", _trcr("alvl")),
+        F("vlvl", "m", "level ice volume", _trcr("vlvl")),
+        F("volpn", "m", "melt pond volume", _trcr("volpn")),
+        F("ardg", "1", "ridged ice area fraction",
+          lambda s, fx, agg: (jnp.maximum(
+              agg["aice"] - jnp.sum(s.aicen * s.trcrn["alvl"], 0), 0.0)
+              if "alvl" in s.trcrn else None)),
+        F("vrdg", "m", "ridged ice volume",
+          lambda s, fx, agg: (jnp.maximum(
+              agg["vice"] - jnp.sum(s.vicen * s.trcrn["vlvl"], 0), 0.0)
+              if "vlvl" in s.trcrn else None)),
         # --- per-category (3Dc) fields (`init_hist` icefields_nml
         # f_aicen/f_vicen/f_fsurfn_ai/... toggles) --------------------------
         F("aicen", "1", "ice area, categories",
@@ -153,6 +261,15 @@ def default_fields(itd=None) -> dict[str, HistField]:
           _flux("fcondtopn_ai"), dims="3Dc"),
         F("flatn_ai", "W/m^2", "latent heat flux, categories",
           _flux("flatn_ai"), dims="3Dc"),
+        F("fmelttn_ai", "W/m^2", "top melt heat flux, categories",
+          lambda s, fx, agg: (fx["fmelttn_ai"] * cn.rhoi * cn.Lfresh
+                              / fx.get("_dt", 3600.0)
+                              if "fmelttn_ai" in fx else None),
+          dims="3Dc"),
+        F("apondn", "1", "melt pond fraction, categories",
+          lambda s, fx, agg: (jnp.minimum(jnp.sqrt(jnp.maximum(
+              s.trcrn["volpn"], 0.0) / 0.8), 1.0)
+              if "volpn" in s.trcrn else None), dims="3Dc"),
         # --- vertical profiles (4Di/4Ds): internal temperatures ------------
         F("Tinz", "C", "internal ice temperature, layers x categories",
           lambda s, fx, agg: _extract_tinz(s, tmlt), dims="4Di"),
@@ -212,13 +329,16 @@ class HistoryStream:
         self.sums: dict[str, jnp.ndarray] = {}
         self.count = 0
 
-    def accumulate(self, state: State, fluxes: dict):
-        agg = aggregate(state, self.grid.tmask)
+    def accumulate(self, state: State, fluxes: dict, agg=None):
+        if agg is None:
+            agg = aggregate(state, self.grid.tmask)
         for name, f in self.fields.items():
             val = f.extract(state, fluxes, agg)
             if val is None:
                 continue
-            if name in self.sums:
+            if not f.avg:
+                self.sums[name] = val          # snapshot: keep latest
+            elif name in self.sums:
                 self.sums[name] = self.sums[name] + val
             else:
                 self.sums[name] = val
@@ -267,7 +387,7 @@ class HistoryStream:
                 v[:] = arr.astype(np.float32)
                 v.units = units.encode()
                 v.long_name = lname.encode()
-            norm = 1.0 / self.count if self.avg else 1.0
+            count = self.count
             land = ~np.asarray(g.tmask)
             dims_of = {"2D": ("time", "nj", "ni"),
                        "3Dc": ("time", "nc", "nj", "ni"),
@@ -275,6 +395,7 @@ class HistoryStream:
                        "4Ds": ("time", "nksnow", "nc", "nj", "ni")}
             for name, total in self.sums.items():
                 f = self.fields[name]
+                norm = 1.0 / count if (self.avg and f.avg) else 1.0
                 v = nc.createVariable(name, "f", dims_of[f.dims])
                 data = np.asarray(jax.device_get(total)) * norm
                 data = np.where(land, cn.spval, data).astype(np.float32)
@@ -305,9 +426,52 @@ class History:
                 HistoryStream(grid, fields, freq, n, avg, directory,
                               suffix))
 
-    def accumulate(self, state, fluxes):
+        self._mlt_onset = None
+        self._frz_onset = None
+
+    def accumulate(self, state, fluxes, forcing=None, yday=None, dt=None):
+        """Accumulate one step into every stream.
+
+        forcing/yday/dt are optional; when given, the forcing-echo
+        fields (fswdn/flwdn/rain/snow/Tair/sss/uocn/vocn) and the
+        melt/freeze onset-date fields are filled
+        (`ice_history.F90:1393-1452` accumulation region).
+        """
+        if not self.streams:
+            return
+        fluxes = dict(fluxes)
+        if dt is not None:
+            fluxes["_dt"] = float(dt)
+        if forcing is not None:
+            f = forcing
+            fluxes.setdefault(
+                "fswdn", f.swvdr + f.swvdf + f.swidr + f.swidf)
+            fluxes.setdefault("flwdn", f.flw)
+            fluxes.setdefault("snow", f.fsnow)
+            fluxes.setdefault("rain", f.frain)
+            fluxes.setdefault("Tair", f.Tair)
+            fluxes.setdefault("sss", f.sss)
+            fluxes.setdefault("uocn", f.uocn)
+            fluxes.setdefault("vocn", f.vocn)
+        if yday is not None and "meltt" in fluxes:
+            import jax.numpy as jnp
+            z = jnp.zeros_like(fluxes["meltt"])
+            if self._mlt_onset is None:
+                self._mlt_onset = z
+                self._frz_onset = z
+            melting = fluxes["meltt"] > cn.puny
+            freezing = (fluxes.get("congel", z)
+                        + fluxes.get("frazil", z)) > cn.puny
+            self._mlt_onset = jnp.where(
+                melting & (self._mlt_onset <= 0.0), yday, self._mlt_onset)
+            self._frz_onset = jnp.where(
+                freezing & (self._frz_onset <= 0.0), yday,
+                self._frz_onset)
+            fluxes["mlt_onset"] = self._mlt_onset
+            fluxes["frz_onset"] = self._frz_onset
+        agg = aggregate(state, self.streams[0].grid.tmask)
         for s in self.streams:
-            s.accumulate(state, fluxes)
+            s.accumulate(state, fluxes, agg)
 
     def write_due(self, calendar) -> list[str]:
         out = []

@@ -253,8 +253,10 @@ def _step_therm1(model: Model, state: State, grid: Grid, f: Forcing,
     # (ice_history.F90 f_fsurfn_ai etc.; "_ai" = times category area)
     for name, per_ice in [("fsurfn_ai", "fsurfn"),
                           ("fcondtopn_ai", "fcondtopn"),
-                          ("flatn_ai", "flatn")]:
+                          ("flatn_ai", "flatn"),
+                          ("fmelttn_ai", "meltt")]:
         merged[name] = fx[per_ice] * w
+    merged["vice_init"] = jnp.sum(vicen_init, axis=0)
     merged["_guards"] = guards
     return state, merged, dict(aicen_init=aicen_init,
                                vicen_init=vicen_init)
@@ -351,6 +353,23 @@ def _step_dynamics(model: Model, state: State, grid: Grid, f: Forcing,
 
     for k in ("divu", "shear", "strength", "prs_sig"):
         fluxes[k] = dyn_diag[k]
+    for k in ("strintx", "strinty", "strocnx", "strocny",
+              "strtltx", "strtlty", "strcorx", "strcory"):
+        if k in dyn_diag:
+            fluxes[k] = dyn_diag[k]
+
+    # principal stresses sig1/sig2 + stress trace for history
+    # (``principal_stress``, ice_dyn_evp.F90:1558-1609)
+    if cfg.dynamics.kdyn == 1:
+        sp1, sm1, s12_1 = (state.stressp[0], state.stressm[0],
+                           state.stress12[0])
+        rad = jnp.sqrt(sm1**2 + 4.0 * s12_1**2)
+        prs = dyn_diag["prs_sig"]
+        ok = prs > cn.puny
+        safe = jnp.maximum(prs, cn.puny)
+        fluxes["sig1"] = jnp.where(ok, 0.5 * (sp1 + rad) / safe, cn.spval)
+        fluxes["sig2"] = jnp.where(ok, 0.5 * (sp1 - rad) / safe, cn.spval)
+        fluxes["trsig"] = 0.25 * jnp.sum(state.stressp, axis=0)
     return state, fluxes
 
 
@@ -446,7 +465,16 @@ def ice_step(model: Model, state: State, grid: Grid, f: Forcing,
     state, fluxes, init = _step_therm1(model, state, grid, f, sw, Tf,
                                        yday, dt)
     state, fluxes = _step_therm2(model, state, grid, fluxes, init, Tf, dt)
+    # thermodynamic area/volume tendencies (init_history_therm,
+    # ice_flux.F90:513-604; accumulated as daidtt/dvidtt in 1/s, m/s)
+    aice_mid = jnp.sum(state.aicen, 0)
+    vice_mid = jnp.sum(state.vicen, 0)
+    fluxes["daidtt"] = (aice_mid - fluxes["aice_init"]) / dt
+    fluxes["dvidtt"] = (vice_mid - fluxes["vice_init"]) / dt
     state, fluxes = _step_dynamics(model, state, grid, f, fluxes, dt)
+    # dynamic tendencies (init_history_dyn)
+    fluxes["daidtd"] = (jnp.sum(state.aicen, 0) - aice_mid) / dt
+    fluxes["dvidtd"] = (jnp.sum(state.vicen, 0) - vice_mid) / dt
     if cfg.radiation.prep_radiation:
         sw = _step_radiation(model, state, grid, f, yday, sec, dt)
     state, fluxes = _coupling_prep(model, state, grid, f, sw, fluxes,

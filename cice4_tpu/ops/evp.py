@@ -472,6 +472,9 @@ def evp(state: State, grid: Grid, dyn: DynamicsConfig, dt: float,
                 strength=strength, strintx=strintx, strinty=strinty,
                 strocnx=strocnx, strocny=strocny,
                 strairx=strairx, strairy=strairy, fm=fm,
+                strtltx=jnp.where(iceumask, strtltx, 0.0),
+                strtlty=jnp.where(iceumask, strtlty, 0.0),
+                strcorx=fm * vvel, strcory=-fm * uvel,
                 icetmask=icetmask)
     return state, diag
 

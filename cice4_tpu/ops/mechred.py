@@ -157,6 +157,11 @@ def _ridge_shift(dyn: DynamicsConfig, itd: ItdParams, dt, carry,
             esnon = esnon.at[nr].add(fvol[None] * esrdgn * fsnowrdg)
             tsfc_a = tsfc_a.at[nr].add(farea * ardg2n * carry["tsfcn"][n])
             for name in atrcrn:
+                if name in ("alvl", "vlvl"):
+                    # ridged ice is not level ice: the level tracers
+                    # leave the donor but are NOT deposited
+                    # (ice_mechred.F90 ridge_shift:1470-1482)
+                    continue
                 dep = TRACER_DEPEND[name]
                 fr = farea if dep == 0 else fvol
                 mult = fsnowrdg if dep == 2 else 1.0

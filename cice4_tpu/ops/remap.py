@@ -57,7 +57,32 @@ SHIFTS = {
 }
 
 
-def _shift9(f, bc, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
+class JnpShift:
+    """Global-view neighbor shifts with boundary conditions (wraps
+    :mod:`cice4_tpu.parallel.halo`).  The Pallas remap kernel provides
+    an interface-compatible in-VMEM twin (`remap_pallas.PallasShift`),
+    so every geometry/reconstruction/divergence helper below runs
+    unchanged inside the fused kernel."""
+
+    __slots__ = ("bc",)
+
+    def __init__(self, bc):
+        self.bc = bc
+
+    def e(self, f, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
+        return h.nbr_e(f, self.bc, loc, ftype)
+
+    def w(self, f, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
+        return h.nbr_w(f, self.bc, loc, ftype)
+
+    def n(self, f, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
+        return h.nbr_n(f, self.bc, loc, ftype)
+
+    def s(self, f, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
+        return h.nbr_s(f, self.bc, loc, ftype)
+
+
+def _shift9(f, sh, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
     """All 3x3 neighbor shifts of `f`, keyed by offset ``(di, dj)``
     (di = +1 means the value one cell east, dj = +1 one cell north).
 
@@ -65,12 +90,12 @@ def _shift9(f, bc, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
     composite order) so the 9 planes cost 8 roll ops total, shared by
     every consumer instead of re-deriving composites per edge/position.
     """
-    fe = h.nbr_e(f, bc, loc, ftype)
-    fw = h.nbr_w(f, bc, loc, ftype)
+    fe = sh.e(f, loc, ftype)
+    fw = sh.w(f, loc, ftype)
     out = {(0, 0): f, (1, 0): fe, (-1, 0): fw}
     for di, g in ((0, f), (1, fe), (-1, fw)):
-        out[(di, 1)] = h.nbr_n(g, bc, loc, ftype)
-        out[(di, -1)] = h.nbr_s(g, bc, loc, ftype)
+        out[(di, 1)] = sh.n(g, loc, ftype)
+        out[(di, -1)] = sh.s(g, loc, ftype)
     return out
 
 
@@ -133,7 +158,7 @@ def _limited_gradient_shifted(phi, p9, m9, phimask, cnx, cny):
     return lim * gx, lim * gy
 
 
-def _edge_geometry(edge, grid: Grid, dx, dy, edgearea=None):
+def _edge_geometry(edge, afac, dx, dy, sh, edgearea=None):
     """Departure-triangle geometry for all edges of one direction
     (``locate_triangles:1763-3146``, 0-based groups).
 
@@ -147,27 +172,25 @@ def _edge_geometry(edge, grid: Grid, dx, dy, edgearea=None):
     factor).  All arrays (ny, nx), indexed by the cell whose
     north/east edge this is.
     """
-    bc = grid.bc
     kw = dict(loc=FieldLoc.NE_CORNER, ftype=FieldType.VECTOR)
     zero = jnp.zeros_like(dx)
 
-    afac = grid.dxu * grid.dyu
     if edge == "north":
-        dxl = h.nbr_w(dx, bc, **kw)
-        dyl = h.nbr_w(dy, bc, **kw)
+        dxl = sh.w(dx, **kw)
+        dyl = sh.w(dy, **kw)
         xdl = -0.5 + dxl
         ydl = dyl
         xdr = 0.5 + dx
         ydr = dy
-        afl = h.nbr_w(afac, bc)
+        afl = sh.w(afac)
         afr = afac
     else:  # east edge; rotate trajectory by pi/2
         xdl = -0.5 - dy
         ydl = dx
-        xdr = 0.5 - h.nbr_s(dy, bc, **kw)
-        ydr = h.nbr_s(dx, bc, **kw)
+        xdr = 0.5 - sh.s(dy, **kw)
+        ydr = sh.s(dx, **kw)
         afl = afac
-        afr = h.nbr_s(afac, bc)
+        afr = sh.s(afac)
     afc = 0.5 * (afl + afr)
 
     xcl, ycl = -0.5, 0.0
@@ -418,13 +441,19 @@ def _quad_points(lx, ly, order):
 
 def _tracer_meta(tracer_names, nilyr, nslyr):
     """Static transported-tracer table (``init_transport:81-170``):
-    (name, tracer_type, parent_row).  Rows: hi, hs, Tsfc, optional
-    tracers, qice layers (depend on hi), qsno layers (depend on hs)."""
+    (name, tracer_type, parent_row).  Rows ordered type-1-first (all
+    independent tracers, then all parent-riding ones) so both the XLA
+    and Pallas paths split the stack with static contiguous slices:
+    hi, hs, Tsfc, area tracers | volume/snow tracers, qice layers
+    (depend on hi), qsno layers (depend on hs)."""
     meta = [("hi", 1, -1), ("hs", 1, -1), ("Tsfc", 1, -1)]
     for name in tracer_names:
+        if TRACER_DEPEND[name] == 0:
+            meta.append((name, 1, -1))
+    for name in tracer_names:
         dep = TRACER_DEPEND[name]
-        meta.append((name, 1 if dep == 0 else 2,
-                     -1 if dep == 0 else (0 if dep == 1 else 1)))
+        if dep != 0:
+            meta.append((name, 2, 0 if dep == 1 else 1))
     for k in range(nilyr):
         meta.append((f"qi{k}", 2, 0))
     for k in range(nslyr):
@@ -432,25 +461,39 @@ def _tracer_meta(tracer_names, nilyr, nslyr):
     return meta
 
 
-def _construct(mm, hm_real, tm, meta, bc):
+def _n_type1(meta):
+    """Length of the type-1 prefix (meta is ordered type-1-first)."""
+    n1 = sum(1 for (_n, tt, _p) in meta if tt == 1)
+    assert all(tt == 1 for (_n, tt, _p) in meta[:n1]) and \
+        all(tt == 2 for (_n, tt, _p) in meta[n1:]), \
+        "tracer meta must be ordered type-1-first"
+    return n1
+
+
+def _construct(mm, hm_real, tm, meta, sh):
     """Batched reconstruction for one category
-    (``construct_fields:1069-1382``).  tm: (T, ny, nx) stacked tracers.
+    (``construct_fields:1069-1382``).  tm: (T, ny, nx) stacked tracers,
+    ordered type-1-first (see `_tracer_meta`) so the stack splits with
+    static slices — Pallas/Mosaic-safe (no gathers).
 
     Returns (mc, mx, my, tc, tx, ty) with tracer arrays stacked.
     """
-    idx1 = [k for k, (_, tt, _p) in enumerate(meta) if tt == 1]
-    idx2 = [k for k, (_, tt, _p) in enumerate(meta) if tt == 2]
-    par2 = [meta[k][2] for k in idx2]
+    n1 = _n_type1(meta)
+    par2 = [meta[k][2] for k in range(n1, len(meta))]
 
     mmask = (mm > cn.puny).astype(mm.dtype)
     zero = jnp.zeros_like(mm)
-    mm9 = _shift9(mm, bc)
-    hm9 = _shift9(hm_real, bc)
+    mm9 = _shift9(mm, sh)
+    hm9 = _shift9(hm_real, sh)
     mx, my = _limited_gradient_shifted(mm, mm9, hm9, hm_real, zero, zero)
     mc = mm
     safe_mm = jnp.maximum(mm, cn.puny)
     mxav = jnp.where(mmask > 0, mx / (12.0 * safe_mm), 0.0)
     myav = jnp.where(mmask > 0, my / (12.0 * safe_mm), 0.0)
+
+    if not len(meta):
+        e = tm[:0]
+        return mc, mx, my, e, e, e
 
     tmask = (jnp.abs(tm) > 0.0).astype(mm.dtype) * mmask[None]
 
@@ -458,15 +501,14 @@ def _construct(mm, hm_real, tm, meta, bc):
     # is shifted once, and shifted MASKS are derived from the shifted
     # fields (exact: open/closed ghost fill is 0, cyclic/tripole are
     # permutations, so mask(shift(f)) == shift(mask(f)))
-    tm9 = _shift9(tm, bc)
+    tm9 = _shift9(tm, sh)
     mmask9 = {off: (v > cn.puny).astype(mm.dtype)
               for off, v in mm9.items()}
 
     # type-1 tracers: batched gradient about the center of mass (the
     # 2-D mass mask/center broadcast against the stack)
-    a1 = jnp.asarray(idx1) if idx1 else None
-    tm1 = tm[a1] if idx1 else tm[:0]
-    tm1_9 = {off: (v[a1] if idx1 else v[:0]) for off, v in tm9.items()}
+    tm1 = tm[:n1]
+    tm1_9 = {off: v[:n1] for off, v in tm9.items()}
     tx1, ty1 = _limited_gradient_shifted(tm1, tm1_9, mmask9, mmask,
                                          mxav, myav)
     tc1 = tm1 - tx1 * mxav[None] - ty1 * myav[None]
@@ -482,41 +524,23 @@ def _construct(mm, hm_real, tm, meta, bc):
                                                     denom, 1.0)), 0.0)
 
     # type-2 tracers: batched gradient about parent's mass*tracer center
-    if idx2:
-        # map parent row index in `meta` -> row in the type-1 stack
-        row1_of = {k: r for r, k in enumerate(idx1)}
-        par_rows = jnp.asarray([row1_of[p] for p in par2])
-        a2 = jnp.asarray(idx2)
-        ap = jnp.asarray(par2)
-        tm2 = tm[a2]
-        tm2_9 = {off: v[a2] for off, v in tm9.items()}
-        pmask = tmask[ap]
-        pmask9 = {off: (jnp.abs(v[ap]) > 0.0).astype(mm.dtype)
+    if par2:
+        tm2 = tm[n1:]
+        tm2_9 = {off: v[n1:] for off, v in tm9.items()}
+        pick = lambda s: jnp.stack([s[p] for p in par2])  # noqa: E731
+        pmask = pick(tmask)
+        pmask9 = {off: pick((jnp.abs(v) > 0.0).astype(mm.dtype))
                   * mmask9[off] for off, v in tm9.items()}
-        pmx = mtxav1[par_rows]
-        pmy = mtyav1[par_rows]
+        pmx = pick(mtxav1)
+        pmy = pick(mtyav1)
         tx2, ty2 = _limited_gradient_shifted(tm2, tm2_9, pmask9, pmask,
                                              pmx, pmy)
         tc2 = tm2 - tx2 * pmx - ty2 * pmy
+        tc = jnp.concatenate([tc1, tc2], axis=0)
+        tx = jnp.concatenate([tx1, tx2], axis=0)
+        ty = jnp.concatenate([ty1, ty2], axis=0)
     else:
-        tx2 = ty2 = tc2 = tm[:0]
-
-    # interleave back to the full stack order
-    T = len(meta)
-    out_shape = (T,) + mm.shape
-    tc = jnp.zeros(out_shape, mm.dtype)
-    tx = jnp.zeros(out_shape, mm.dtype)
-    ty = jnp.zeros(out_shape, mm.dtype)
-    if idx1:
-        a = jnp.asarray(idx1)
-        tc = tc.at[a].set(tc1)
-        tx = tx.at[a].set(tx1)
-        ty = ty.at[a].set(ty1)
-    if idx2:
-        a = jnp.asarray(idx2)
-        tc = tc.at[a].set(tc2)
-        tx = tx.at[a].set(tx2)
-        ty = ty.at[a].set(ty2)
+        tc, tx, ty = tc1, tx1, ty1
     return mc, mx, my, tc, tx, ty
 
 
@@ -525,7 +549,7 @@ def _construct(mm, hm_real, tm, meta, bc):
 ALL_OFFSETS = tuple((di, dj) for dj in (1, 0, -1) for di in (-1, 0, 1))
 
 
-def _geom_moments(edge, grid: Grid, dx, dy, order, edgearea=None):
+def _geom_moments(edge, afac, dx, dy, order, sh, edgearea=None):
     """Category-independent quadrature moments per donor position
     (``transport_integrals:3307-3632``, factored).
 
@@ -541,7 +565,7 @@ def _geom_moments(edge, grid: Grid, dx, dy, order, edgearea=None):
 
     Returns {pos: [S1, Sx, Sy, Sxx, Sxy, Syy, Sxxx, Sxxy, Sxyy, Syyy]}.
     """
-    geom = _edge_geometry(edge, grid, dx, dy, edgearea)
+    geom = _edge_geometry(edge, afac, dx, dy, sh, edgearea)
     used = sorted({p for ps in GROUP_POSITIONS for p in ps})
     G = {p: [0.0] * 10 for p in used}
     for g in range(NGROUPS):
@@ -583,7 +607,7 @@ def _mass_moments(edge, G, mc9, mx9, my9):
     return W
 
 
-def _acc_divergence(A, W, edge, bc):
+def _acc_divergence(A, W, edge, sh):
     """Fold one edge direction's moment planes into the per-donor-offset
     divergence accumulators.
 
@@ -597,9 +621,9 @@ def _acc_divergence(A, W, edge, bc):
     neighbor, so conservation is exact.
     """
     if edge == "east":
-        back, bo = (lambda f: h.nbr_w(f, bc)), (-1, 0)
+        back, bo = sh.w, (-1, 0)
     else:
-        back, bo = (lambda f: h.nbr_s(f, bc)), (0, -1)
+        back, bo = sh.s, (0, -1)
     for p, w6 in W.items():
         d = SHIFTS[edge][p]
         g2 = (d[0] + bo[0], d[1] + bo[1])
@@ -609,7 +633,7 @@ def _acc_divergence(A, W, edge, bc):
             accm[k] = accm[k] - back(w6[k])
 
 
-def _flux_divergence(G_e, G_n, mc, mx, my, tc, tx, ty, meta, bc):
+def _flux_divergence(G_e, G_n, mc, mx, my, tc, tx, ty, meta, sh):
     """Mass and mass·tracer flux divergence (pre-1/tarea) for one
     category (``transport_integrals`` + the update differences of
     ``update_fields:3642-3868``, reassociated — see `_acc_divergence`).
@@ -617,13 +641,13 @@ def _flux_divergence(G_e, G_n, mc, mx, my, tc, tx, ty, meta, bc):
     Returns (div, divt) with divt of shape (T, ny, nx).
     """
     T = len(meta)
-    mc9 = _shift9(mc, bc)
-    mx9 = _shift9(mx, bc)
-    my9 = _shift9(my, bc)
+    mc9 = _shift9(mc, sh)
+    mx9 = _shift9(mx, sh)
+    my9 = _shift9(my, sh)
 
     A = {off: [0.0] * 6 for off in ALL_OFFSETS}
     for edge, G in (("east", G_e), ("north", G_n)):
-        _acc_divergence(A, _mass_moments(edge, G, mc9, mx9, my9), edge, bc)
+        _acc_divergence(A, _mass_moments(edge, G, mc9, mx9, my9), edge, sh)
 
     div = 0.0
     for off in ALL_OFFSETS:
@@ -632,34 +656,36 @@ def _flux_divergence(G_e, G_n, mc, mx, my, tc, tx, ty, meta, bc):
     if not T:
         return div, jnp.zeros((0,) + mc.shape, mc.dtype)
 
-    idx2 = [k for k, (_, tt, _p) in enumerate(meta) if tt == 2]
-    if idx2:
-        a2 = jnp.asarray(idx2)
-        ap = jnp.asarray([meta[k][2] for k in idx2])
+    n1 = _n_type1(meta)
+    par2 = [meta[k][2] for k in range(n1, T)]
 
-    tc9 = _shift9(tc, bc)
-    tx9 = _shift9(tx, bc)
-    ty9 = _shift9(ty, bc)
+    tc9 = _shift9(tc, sh)
+    tx9 = _shift9(tx, sh)
+    ty9 = _shift9(ty, sh)
 
     divt = 0.0
     for off in ALL_OFFSETS:
         wm, wx, wy, wxx, wxy, wyy = A[off]
         tcp, txp, typ = tc9[off], tx9[off], ty9[off]
         # type-1 rows: Σ area·(m·tc + mx·tx + my·ty) at the donor
-        mts = wm[None] * tcp + wx[None] * txp + wy[None] * typ
-        if idx2:
+        mts1 = (wm[None] * tcp[:n1] + wx[None] * txp[:n1]
+                + wy[None] * typ[:n1])
+        if par2:
             # type-2 rows ride on the parent: moments of m·t_parent
-            pc, px_, py_ = tcp[ap], txp[ap], typ[ap]
+            pick = lambda s: jnp.stack([s[p] for p in par2])  # noqa: E731
+            pc, px_, py_ = pick(tcp), pick(txp), pick(typ)
             g0 = wm[None] * pc + wx[None] * px_ + wy[None] * py_
             g1 = wx[None] * pc + wxx[None] * px_ + wxy[None] * py_
             g2 = wy[None] * pc + wxy[None] * px_ + wyy[None] * py_
-            mts = mts.at[a2].set(
-                g0 * tcp[a2] + g1 * txp[a2] + g2 * typ[a2])
+            mts2 = g0 * tcp[n1:] + g1 * txp[n1:] + g2 * typ[n1:]
+            mts = jnp.concatenate([mts1, mts2], axis=0)
+        else:
+            mts = mts1
         divt = divt + mts
     return div, divt
 
 
-def _local_max_min(mm, tm, meta, bc):
+def _local_max_min(mm, tm, meta, sh):
     """Quasilocal tracer bounds before transport
     (``ice_transport_driver.F90 local_max_min:1230-1345`` +
     ``quasilocal_max_min:1360-1410``): per tracer, the min/max over the
@@ -674,8 +700,8 @@ def _local_max_min(mm, tm, meta, bc):
     is2 = jnp.asarray([t == 2 for (_n, t, _p) in meta])[:, None, None]
     phimask = jnp.where(is2, tmask[:, par], aimask)
 
-    m9 = _shift9(phimask, bc)
-    p9 = _shift9(tm, bc)
+    m9 = _shift9(phimask, sh)
+    p9 = _shift9(tm, sh)
     tmin = tm
     tmax = tm
     for off in ALL_OFFSETS:
@@ -685,8 +711,8 @@ def _local_max_min(mm, tm, meta, bc):
         tmin = jnp.minimum(tmin, v)
         tmax = jnp.maximum(tmax, v)
     # quasilocal extension: one more ring of plain min/max
-    lo9 = _shift9(tmin, bc)
-    hi9 = _shift9(tmax, bc)
+    lo9 = _shift9(tmin, sh)
+    hi9 = _shift9(tmax, sh)
     for off in ALL_OFFSETS:
         tmin = jnp.minimum(tmin, lo9[off])
         tmax = jnp.maximum(tmax, hi9[off])
@@ -791,25 +817,21 @@ def _departure_midpoint(uvel, vvel, dx, dy, dt, grid: Grid, bc):
     return dx_new, dy_new
 
 
-def _remap_category(mm, tm, hm_real, tmask_land, tarear, G_e, G_n,
-                    meta, bc, want_mid=False):
-    """Advect one category: reconstruction, flux divergence, update.
-
-    mm: (ny, nx) area; tm: (T, ny, nx) tracers.  G_e/G_n: the shared
-    geometric moment planes (`_geom_moments`).
-    Returns (mm_new, tm_new) — plus the unclamped mid-transport
-    (mm_mid, mt_mid) fields when `want_mid` (for the reference's
-    pre-``tracers_to_state`` conservation check).
+def _update_category(mm, tm, div, divt, tmask_land, tarear, meta):
+    """``update_fields:3642-3868`` for one category given the flux
+    divergences: new mass/tracers + the unclamped mid-transport fields
+    (for the reference's pre-``tracers_to_state`` conservation check).
     """
-    mc, mx, my, tc, tx, ty = _construct(mm, hm_real, tm, meta, bc)
-    div, divt = _flux_divergence(G_e, G_n, mc, mx, my, tc, tx, ty,
-                                 meta, bc)
+    n1 = _n_type1(meta)
+    par2 = [meta[k][2] for k in range(n1, len(meta))]
+    if not par2:
+        pick = lambda s: s[:0]  # noqa: E731
+    else:
+        pick = lambda s: jnp.stack([s[p] for p in par2])  # noqa: E731
 
-    # update_fields (":3642-3868")
-    par = jnp.asarray([max(p, 0) for (_n, _t, p) in meta])
-    is2 = jnp.asarray([1.0 if t == 2 else 0.0
-                       for (_n, t, _p) in meta])[:, None, None]
-    mtold = mm[None] * tm * jnp.where(is2 > 0, tm[par], 1.0)
+    mtold1 = mm[None] * tm[:n1]
+    mtold2 = mm[None] * tm[n1:] * pick(tm)
+    mtold = jnp.concatenate([mtold1, mtold2], axis=0)
 
     div = div * tarear
     mm_mid = mm - div
@@ -822,20 +844,81 @@ def _remap_category(mm, tm, hm_real, tmask_land, tarear, G_e, G_n,
     mt = mtold - divt
     t1 = jnp.where(pos_m[None], mt / safe[None], 0.0)
     # type-2: divide by (mm * parent); parents (hi, hs) are nonnegative
-    pv = t1[par]
+    pv = pick(t1)
     t2 = jnp.where(pos_m[None] & (pv > 0.0),
-                   mt / jnp.maximum(mm_new[None] * pv, cn.puny), 0.0)
-    tm_new = jnp.where(is2 > 0, t2, t1)
+                   mt[n1:] / jnp.maximum(mm_new[None] * pv, cn.puny), 0.0)
+    tm_new = jnp.concatenate([t1[:n1], t2], axis=0)
+    return mm_new, tm_new, (mm_mid, mt)
+
+
+def _remap_category(mm, tm, hm_real, tmask_land, tarear, G_e, G_n,
+                    meta, sh, want_mid=False):
+    """Advect one category: reconstruction, flux divergence, update.
+
+    mm: (ny, nx) area; tm: (T, ny, nx) stacked tracers.  G_e/G_n: the
+    shared geometric moment planes (`_geom_moments`).
+    """
+    mc, mx, my, tc, tx, ty = _construct(mm, hm_real, tm, meta, sh)
+    div, divt = _flux_divergence(G_e, G_n, mc, mx, my, tc, tx, ty,
+                                 meta, sh)
+    mm_new, tm_new, mid = _update_category(mm, tm, div, divt,
+                                           tmask_land, tarear, meta)
     if want_mid:
-        return mm_new, tm_new, (mm_mid, mt)
+        return mm_new, tm_new, mid
     return mm_new, tm_new
+
+
+def _geom_accumulators(afac, dx, dy, order, sh, ea_e=None, ea_n=None):
+    """Category-independent divergence accumulators in geometric space:
+    GA[off][k] for the 10 monomial moments, such that for any donor
+    polynomial field f with monomial coefficients U_k,
+    ``divergence(c) = Σ_off Σ_k GA_k[off](c) · U_k(c + off)``.
+
+    This hoists `_acc_divergence`'s ± scatter (which `_flux_divergence`
+    performs per category on mass-contracted planes) to the purely
+    geometric moments — computed ONCE for all categories.  The Pallas
+    remap kernel consumes these planes directly.
+    """
+    GA = {off: [0.0] * 10 for off in ALL_OFFSETS}
+    for edge, ea in (("east", ea_e), ("north", ea_n)):
+        G = _geom_moments(edge, afac, dx, dy, order, sh, ea)
+        back, bo = (sh.w, (-1, 0)) if edge == "east" else (sh.s, (0, -1))
+        for p, g10 in G.items():
+            d = SHIFTS[edge][p]
+            g2 = (d[0] + bo[0], d[1] + bo[1])
+            for k in range(10):
+                GA[d][k] = GA[d][k] + g10[k]
+                GA[g2][k] = GA[g2][k] - back(g10[k])
+    return GA
+
+
+def _use_pallas_remap(grid, dtype) -> bool:
+    """Fused-kernel eligibility (mirrors `evp._use_pallas`): single TPU
+    device, non-tripole boundaries, working set within VMEM."""
+    import os
+    if os.environ.get("CICE4_NO_PALLAS"):
+        return False
+    if grid.bc.ns in ("tripole", "tripoleT"):
+        return False
+    try:
+        import jax.extend.backend as _b
+        backend = _b.get_backend().platform
+    except Exception:
+        backend = jax.default_backend()
+    if backend != "tpu" or jax.device_count() != 1:
+        return False
+    # per-category kernel working set: GA (90 planes) + tracer stacks
+    # + reconstruction temporaries; stay well under the 128 MB VMEM
+    plane = grid.ny * grid.nx * jnp.dtype(dtype).itemsize
+    return 140 * plane < 100 * 1024 * 1024
 
 
 def transport_remap(state: State, grid: Grid, dt,
                     integral_order: int = 2, dp_midpt: bool = False,
                     fixed_area: bool = False,
                     conservation_check: bool = False,
-                    monotonicity_check: bool = False):
+                    monotonicity_check: bool = False,
+                    use_pallas: bool | None = None):
     """Full incremental-remapping advection of the ice state.
 
     Returns (state, aice0) — the advected open-water fraction feeds the
@@ -844,11 +927,14 @@ def transport_remap(state: State, grid: Grid, dt,
     (``ice_transport_driver.F90:596-648``).
     """
     bc = grid.bc
+    sh = JnpShift(bc)
     ncat = state.ncat
     nilyr = state.eicen.shape[1]
     nslyr = state.esnon.shape[1]
     tracer_names = list(state.trcrn.keys())
     meta = _tracer_meta(tracer_names, nilyr, nslyr)
+    if use_pallas is None:
+        use_pallas = _use_pallas_remap(grid, state.aicen.dtype)
 
     # scaled departure displacements at U corners (departure_points)
     dx = -dt * state.uvel / grid.dxu
@@ -869,9 +955,7 @@ def transport_remap(state: State, grid: Grid, dt,
     else:
         ea_e = ea_n = None
 
-    # category-independent geometric moment planes, computed once
-    G_e = _geom_moments("east", grid, dx, dy, integral_order, ea_e)
-    G_n = _geom_moments("north", grid, dx, dy, integral_order, ea_n)
+    afac = grid.dxu * grid.dyu
 
     # --- state_to_tracers (driver ":847-1003") -----------------------------
     aice0 = jnp.maximum(1.0 - jnp.sum(state.aicen, 0), 0.0)
@@ -882,38 +966,59 @@ def transport_remap(state: State, grid: Grid, dt,
     hi = jnp.where(has, state.vicen / a_s, 0.0)
     hs = jnp.where(has, state.vsnon / a_s, 0.0)
 
-    rows = [hi, hs, jnp.where(has, state.tsfcn, 0.0)]
+    src = {"hi": hi, "hs": hs, "Tsfc": jnp.where(has, state.tsfcn, 0.0)}
     for name in tracer_names:
-        rows.append(jnp.where(has, state.trcrn[name], 0.0))
+        src[name] = jnp.where(has, state.trcrn[name], 0.0)
     for k in range(nilyr):
-        rows.append(jnp.where(has, state.eicen[:, k] / v_s, 0.0))
+        src[f"qi{k}"] = jnp.where(has, state.eicen[:, k] / v_s, 0.0)
     for k in range(nslyr):
         qs = state.esnon[:, k] / vs_s + cn.rhos * cn.Lfresh
-        rows.append(jnp.where(has & (hs > cn.puny), qs, 0.0))
-    tm = jnp.stack(rows, axis=1)          # (ncat, T, ny, nx)
+        src[f"qs{k}"] = jnp.where(has & (hs > cn.puny), qs, 0.0)
+    tm = jnp.stack([src[name] for (name, _t, _p) in meta],
+                   axis=1)               # (ncat, T, ny, nx)
 
-    # --- advect open water (mass only); feeds ridging ----------------------
-    empty = jnp.zeros((0,) + aice0.shape, aice0.dtype)
-    mc0, mx0, my0, _tc, _tx, _ty = _construct(aice0, grid.hm, empty, [], bc)
-    div0, _ = _flux_divergence(G_e, G_n, mc0, mx0, my0,
-                               empty, empty, empty, [], bc)
+    if use_pallas and not fixed_area:
+        from cice4_tpu.ops.remap_pallas import remap_pallas_divergence
+
+        # open water rides as an extra mass-only "category" (row 0)
+        mm_ext = jnp.concatenate([aice0[None], state.aicen], axis=0)
+        tm_ext = jnp.concatenate(
+            [jnp.zeros_like(tm[:1]), tm], axis=0)
+        div_ext, divt_ext = remap_pallas_divergence(
+            dx, dy, afac, mm_ext, tm_ext, grid.hm, meta, bc.ew, bc.ns,
+            integral_order)
+        div0 = div_ext[0]
+        upd = jax.vmap(
+            lambda mmn, tmn, dv, dvt: _update_category(
+                mmn, tmn, dv, dvt, grid.tmask, grid.tarear, meta)
+        )(state.aicen, tm, div_ext[1:], divt_ext[1:])
+        mm_new, tm_new, (mm_mid, mt_mid) = upd
+    else:
+        # category-independent geometric moment planes, computed once
+        G_e = _geom_moments("east", afac, dx, dy, integral_order, sh, ea_e)
+        G_n = _geom_moments("north", afac, dx, dy, integral_order, sh, ea_n)
+
+        # advect open water (mass only); feeds ridging
+        empty = jnp.zeros((0,) + aice0.shape, aice0.dtype)
+        mc0, mx0, my0, _tc, _tx, _ty = _construct(aice0, grid.hm, empty,
+                                                  [], sh)
+        div0, _ = _flux_divergence(G_e, G_n, mc0, mx0, my0,
+                                   empty, empty, empty, [], sh)
+
+        out = jax.vmap(
+            lambda mmn, tmn: _remap_category(mmn, tmn, grid.hm,
+                                             grid.tmask, grid.tarear,
+                                             G_e, G_n, meta, sh,
+                                             want_mid=True)
+        )(state.aicen, tm)
+        mm_new, tm_new, (mm_mid, mt_mid) = out
+
     aice0_mid = aice0 - div0 * grid.tarear
     aice0_new = jnp.where(grid.tmask, jnp.maximum(aice0_mid, 0.0), 0.0)
 
-    # --- advect every category (vmapped) -----------------------------------
-    out = jax.vmap(
-        lambda mmn, tmn: _remap_category(mmn, tmn, grid.hm, grid.tmask,
-                                         grid.tarear, G_e, G_n, meta, bc,
-                                         want_mid=conservation_check)
-    )(state.aicen, tm)
-    if conservation_check:
-        mm_new, tm_new, (mm_mid, mt_mid) = out
-    else:
-        mm_new, tm_new = out
-
     guards = {}
     if monotonicity_check:
-        tmin, tmax = _local_max_min(state.aicen, tm, meta, bc)
+        tmin, tmax = _local_max_min(state.aicen, tm, meta, sh)
         guards["transport monotonicity"] = _check_monotonicity(
             tmin, tmax, mm_new, tm_new, meta)
     if conservation_check:
@@ -939,20 +1044,18 @@ def transport_remap(state: State, grid: Grid, dt,
     # --- tracers_to_state (driver ":1012-1137") ----------------------------
     a = mm_new
     pos_m = a > 0.0
-    hi_n = jnp.maximum(tm_new[:, 0], 0.0)
-    hs_n = jnp.maximum(tm_new[:, 1], 0.0)
-    tsfcn = jnp.where(pos_m, tm_new[:, 2], cn.Tocnfrz)
-    base = 3
+    row = {name: i for i, (name, _t, _p) in enumerate(meta)}
+    hi_n = jnp.maximum(tm_new[:, row["hi"]], 0.0)
+    hs_n = jnp.maximum(tm_new[:, row["hs"]], 0.0)
+    tsfcn = jnp.where(pos_m, tm_new[:, row["Tsfc"]], cn.Tocnfrz)
     trcrn = {}
-    for i, name in enumerate(tracer_names):
-        trcrn[name] = tm_new[:, base + i]
-    base += len(tracer_names)
+    for name in tracer_names:
+        trcrn[name] = tm_new[:, row[name]]
     eicen = jnp.stack(
-        [jnp.minimum(tm_new[:, base + k], 0.0) * a * hi_n
+        [jnp.minimum(tm_new[:, row[f"qi{k}"]], 0.0) * a * hi_n
          for k in range(nilyr)], axis=1)
-    base += nilyr
     esnon = jnp.stack(
-        [jnp.minimum(tm_new[:, base + k] - cn.rhos * cn.Lfresh, 0.0)
+        [jnp.minimum(tm_new[:, row[f"qs{k}"]] - cn.rhos * cn.Lfresh, 0.0)
          * a * hs_n for k in range(nslyr)], axis=1)
 
     state = state.replace(aicen=a, vicen=a * hi_n, vsnon=a * hs_n,

@@ -18,6 +18,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed():
+    """Multi-host initialization behind a flag
+    (``jax.distributed.initialize``; the TPU-native analogue of
+    `init_communicate`, ``mpi/ice_communicate.F90:74-141``).
+
+    Set CICE4_DISTRIBUTED=1 (with the usual JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID env, or TPU-pod auto-detect) to
+    join a multi-host mesh; no-op otherwise and safe to call twice.
+    """
+    import os
+    if not os.environ.get("CICE4_DISTRIBUTED"):
+        return False
+    try:
+        jax.distributed.initialize()
+        return True
+    except RuntimeError:
+        return True  # already initialized
+
+
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """Build a near-square (py, px) mesh from the available devices
     (the analogue of `proc_decomposition`, ``ice_distribution.F90:

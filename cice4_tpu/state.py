@@ -278,5 +278,11 @@ def init_state(cfg: Config, grid: Grid, itd: ItdParams,
         esnon = jnp.broadcast_to(-cn.rhos * cn.Lfresh * vsnon[:, None] / nslyr,
                                  (ncat, nslyr, ny, nx))
 
+    # initial ice is all level ice (ice_lvl.F90 init: alvl = vlvl = 1)
+    trcrn = dict(s.trcrn)
+    if "alvl" in trcrn:
+        ones = jnp.where(aicen > 0.0, 1.0, 0.0).astype(dtype)
+        trcrn["alvl"] = ones
+        trcrn["vlvl"] = ones
     return s.replace(aicen=aicen, vicen=vicen, vsnon=vsnon, tsfcn=tsfcn,
-                     eicen=eicen, esnon=esnon)
+                     eicen=eicen, esnon=esnon, trcrn=trcrn)

@@ -87,3 +87,47 @@ def test_netcdf_roundtrip(run_two_steps, tmp_path_factory):
                                    rtol=1e-6, atol=1e-6)
     # accumulators reset after write
     assert stream.count == 0 and not stream.sums
+
+
+def test_field_registry_complete(run_two_steps):
+    """The registry covers the reference's ~103 `init_hist` fields
+    (`ice_history.F90:417-1367`)."""
+    cfg, grid, model, outs = run_two_steps
+    fields = default_fields(model.itd)
+    assert len(fields) >= 100
+    for must in ("sig1", "sig2", "trsig", "strintx", "strcorx",
+                 "strtltx", "daidtt", "daidtd", "dvidtt", "dvidtd",
+                 "fswdn", "flwdn", "rain", "snow", "hisnap", "aisnap",
+                 "mlt_onset", "frz_onset", "fresh_ai", "fhocn_ai",
+                 "fmeltt_ai", "fmelttn_ai", "iage", "ardg", "vrdg"):
+        assert must in fields, must
+
+
+def test_forcing_echo_and_snapshots(run_two_steps, tmp_path_factory):
+    """Forcing-echo fields and snapshot (non-averaged) fields flow
+    through History.accumulate; snapshots keep the last value."""
+    cfg, grid, model, outs = run_two_steps
+    f = default_forcing(grid.ny, grid.nx, jnp.float64)
+    d = str(tmp_path_factory.mktemp("hist2"))
+    hist = History(grid, histfreq=("d",), histfreq_n=(1,),
+                   directory=d, itd=model.itd)
+    for k, (s, fx) in enumerate(outs):
+        hist.accumulate(s, fx, forcing=f, yday=80.0 + k, dt=3600.0)
+    stream = hist.streams[0]
+    assert "fswdn" in stream.sums
+    assert "Tair" in stream.sums
+    assert "sig1" in stream.sums
+    assert "daidtt" in stream.sums
+    # snapshot: aisnap equals the LAST step's aice, not the sum
+    last_aice = np.asarray(jnp.sum(outs[-1][0].aicen, 0))
+    np.testing.assert_allclose(np.asarray(stream.sums["aisnap"]),
+                               last_aice, rtol=1e-12)
+    path = stream.write(19970102, 2.0)
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "r") as nc:
+        assert "fswdn" in nc.variables
+        assert "aisnap" in nc.variables
+        ocean = np.asarray(grid.tmask)
+        np.testing.assert_allclose(
+            nc.variables["aisnap"][0][ocean], last_aice[ocean],
+            rtol=1e-5, atol=1e-7)

@@ -62,10 +62,13 @@ def main():
     dx = -dt * state.uvel / grid.dxu
     dy = -dt * state.vvel / grid.dyu
 
+    sh = R.JnpShift(bc)
+    afac = grid.dxu * grid.dyu
+
     @jax.jit
     def geom(dx, dy):
-        return (R._geom_moments("east", grid, dx, dy, 2),
-                R._geom_moments("north", grid, dx, dy, 2))
+        return (R._geom_moments("east", afac, dx, dy, 2, sh),
+                R._geom_moments("north", afac, dx, dy, 2, sh))
 
     G_e, G_n = timeit(geom, dx, dy, label="geometry+moments (both edges)")
 
@@ -89,22 +92,29 @@ def main():
     @jax.jit
     def construct(aicen, tm):
         return jax.vmap(lambda mmn, tmn: R._construct(
-            mmn, grid.hm, tmn, meta, bc))(aicen, tm)
+            mmn, grid.hm, tmn, meta, sh))(aicen, tm)
 
     C = timeit(construct, state.aicen, tm, label="construct (5 cat)")
 
     @jax.jit
     def fluxdiv(C):
         return jax.vmap(lambda mc, mx, my, tc, tx, ty: R._flux_divergence(
-            G_e, G_n, mc, mx, my, tc, tx, ty, meta, bc))(*C)
+            G_e, G_n, mc, mx, my, tc, tx, ty, meta, sh))(*C)
 
     timeit(fluxdiv, C, label="flux divergence (5 cat)")
 
     @jax.jit
     def full(state):
-        return R.transport_remap(state, grid, dt)
+        return R.transport_remap(state, grid, dt, use_pallas=False)
 
-    timeit(full, state, label="FULL transport_remap")
+    timeit(full, state, label="FULL transport_remap (jnp)")
+
+    @jax.jit
+    def fullp(state):
+        return R.transport_remap(state, grid, dt, use_pallas=True)
+
+    if jax.default_backend() == "tpu":
+        timeit(fullp, state, label="FULL transport_remap (pallas)")
 
 
 if __name__ == "__main__":
