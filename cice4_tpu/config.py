@@ -190,6 +190,9 @@ class RunConfig:
     histfreq_n: tuple = (1, 1, 1, 1, 1)
     hist_avg: bool = True
     history_dir: str = "./history/"
+    # "nc" (icecdf) or "bin" (icebin flat records + .hdr,
+    # ice_history.F90:3244-3474)
+    history_format: str = "nc"
 
 
 @dataclass(frozen=True)

@@ -65,27 +65,83 @@ def from_ocn(forcing: Forcing, o2i: dict) -> tuple[Forcing, dict]:
     return forcing, updates
 
 
-def into_ocn(fluxes: dict, state, forcing: Forcing) -> dict:
-    """Assemble the ice->ocean field set (``into_ocn:579-675`` via
-    `get_i2o_fluxes`): stresses, water/salt/heat fluxes, penetrating
-    SW, freeze/melt potential bookkeeping."""
+def gfdl_open_water_fluxes(state, forcing: Forcing, tmask,
+                           u_star_prev=None):
+    """Open-water atmosphere fluxes via the GFDL Monin-Obukhov bulk
+    package (``cpl_forcing_handler.F90 gfdl_ocean_fluxes:925-1056``;
+    enabled by default in the reference, ``cpl_parameters.F90:54``).
+
+    u_star_prev: previous coupling interval's friction velocity (the
+    roughness inputs lag one interval, as the reference notes at
+    ":984-989"; restart-carried there).  Returns the dict of
+    sign-flipped ocean fluxes + the new u_star to carry forward.
+    """
+    from cice4_tpu.ops.gfdl_flux import gfdl_ocean_fluxes
+    if u_star_prev is None:
+        u_star_prev = jnp.full_like(state.sst, 0.1)
+    press = forcing.press if getattr(forcing, "press", None) is not None \
+        else jnp.full_like(state.sst, 1.013e5)
+    return gfdl_ocean_fluxes(
+        tair=forcing.Tair, qair=forcing.Qa,
+        uwnd=forcing.uatm, vwnd=forcing.vatm,
+        press=press, sst=state.sst,
+        ssu=forcing.uocn, ssv=forcing.vocn,
+        u_star_prev=u_star_prev, tmask=tmask)
+
+
+def into_ocn(fluxes: dict, state, forcing: Forcing,
+             gfdl: dict | None = None) -> dict:
+    """Assemble the ice->ocean field set (``get_i2o_fluxes``, the merge
+    at ``cpl_forcing_handler.F90:689-780``): open-water atmosphere
+    fluxes weighted by (1-aice) merged with under-ice fluxes (already
+    category-weighted by merge_fluxes), stresses sign-flipped for the
+    ocean (the ":724 BUG found here" sign), salt/heat/SW pass-through.
+
+    gfdl: optional dict from :func:`gfdl_open_water_fluxes` — when
+    given, the open-water sensible/latent/longwave/stress come from
+    the GFDL bulk scheme exactly as `gfdl_surface_flux=.true.` does.
+    """
     aice = fluxes.get("aice", jnp.sum(state.aicen, 0))
+    ow = 1.0 - aice
+    zero = jnp.zeros_like(aice)
+    if gfdl is not None:
+        # gfdl dict fields are already sign-flipped for the ocean
+        fsens_ocn = -gfdl["sh"]       # back to atmosphere convention
+        flat_ocn = -gfdl["lh"]
+        flwout_ocn = -gfdl["lwo"]
+        strairx_ocn = -gfdl["taox"]
+        strairy_ocn = -gfdl["taoy"]
+    else:
+        fsens_ocn = fluxes.get("fsens_ocn", zero)
+        flat_ocn = fluxes.get("flat_ocn", zero)
+        flwout_ocn = fluxes.get("flwout_ocn", zero)
+        strairx_ocn = fluxes.get("strairx_ocn", zero)
+        strairy_ocn = fluxes.get("strairy_ocn", zero)
+    swabs_ocn = fluxes.get("swabs_ocn", zero)
+    flw = forcing.flw if forcing.flw is not None else zero
     return {
-        "strsu_io": state.strocnxT * aice * -1.0,  # sign: stress ON ocean
-        "strsv_io": state.strocnyT * aice * -1.0,
-        "rain_io": forcing.frain * (1.0 - aice),
-        "snow_io": forcing.fsnow * (1.0 - aice),
+        # 1/2) interface stress: open-water air stress + (sign-flipped)
+        # ice-ocean stress (":722-726")
+        "strsu_io": strairx_ocn * ow - state.strocnxT * aice,
+        "strsv_io": strairy_ocn * ow - state.strocnyT * aice,
+        "rain_io": forcing.frain * ow,
+        "snow_io": forcing.fsnow * ow,
         "stflx_io": fluxes["fsalt"],
         "htflx_io": fluxes["fhocn"],
-        "swflx_io": fluxes["fswthru"],
-        "qflux_io": fluxes.get("frazil", jnp.zeros_like(aice)),
-        "shflx_io": fluxes.get("fsens_ocn", jnp.zeros_like(aice)),
-        "lwflx_io": fluxes.get("flwout_ocn", jnp.zeros_like(aice)),
-        "runof_io": jnp.zeros_like(aice),
-        "press_io": jnp.zeros_like(aice),
+        # 7) SW: open-water absorbed + penetrating through ice (":744")
+        "swflx_io": swabs_ocn * ow + fluxes["fswthru"],
+        # 8/9) latent/sensible, positive OUT of ocean (":746-752")
+        "qflux_io": -flat_ocn * ow,
+        "shflx_io": -fsens_ocn * ow,
+        # 10) net LW into ocean (":754")
+        "lwflx_io": (flw + flwout_ocn) * ow,
+        "runof_io": getattr(forcing, "runof", None)
+        if getattr(forcing, "runof", None) is not None else zero,
+        "press_io": getattr(forcing, "press", None)
+        if getattr(forcing, "press", None) is not None else zero,
         "aice_io": aice,
         "melt_io": fluxes["fresh"],
-        "form_io": fluxes.get("frazil", jnp.zeros_like(aice)),
+        "form_io": fluxes.get("frazil", zero),
     }
 
 
@@ -97,11 +153,20 @@ def into_atm(fluxes: dict, state) -> dict:
 class CouplerBoundary:
     """Stateful convenience wrapper for a coupled run: holds the latest
     received fields and exposes the 4 exchange calls with the reference
-    call pattern (`CICE_RunMod.F90:106-340` coupled loop)."""
+    call pattern (`CICE_RunMod.F90:106-340` coupled loop).
 
-    def __init__(self, forcing: Forcing):
+    gfdl_surface_flux mirrors ``cpl_parameters.F90:54`` (default True
+    there): open-water sh/lh/lw/stress for the ocean come from the
+    GFDL Monin-Obukhov package, with u_star carried between coupling
+    intervals (the reference saves it to the restart)."""
+
+    def __init__(self, forcing: Forcing, tmask=None,
+                 gfdl_surface_flux: bool = False):
         self.forcing = forcing
         self.state_updates: dict = {}
+        self.gfdl_surface_flux = gfdl_surface_flux
+        self.tmask = tmask
+        self.u_star = None
 
     def recv_atm(self, a2i: dict):
         self.forcing = from_atm(self.forcing, a2i)
@@ -116,7 +181,14 @@ class CouplerBoundary:
         return state
 
     def send_ocn(self, fluxes, state):
-        return into_ocn(fluxes, state, self.forcing)
+        gfdl = None
+        if self.gfdl_surface_flux:
+            tmask = self.tmask if self.tmask is not None \
+                else jnp.ones_like(state.sst, bool)
+            gfdl = gfdl_open_water_fluxes(state, self.forcing, tmask,
+                                          self.u_star)
+            self.u_star = gfdl["u_star"]
+        return into_ocn(fluxes, state, self.forcing, gfdl=gfdl)
 
     def send_atm(self, fluxes, state):
         return into_atm(fluxes, state)

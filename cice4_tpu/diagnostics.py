@@ -124,11 +124,16 @@ def runtime_diags(state: State, grid: Grid, fluxes=None, forcing=None,
     # ------------------------------------------------------------------
     f = forcing
     aice_init = fluxes["aice_init"]
+    # NB: the downwelling-LW term is weighted by the PRE-step aice —
+    # the weight merge_fluxes used for every other component.  The
+    # reference weights it by the post-step aggregate
+    # (ice_diagnostics.F90:421-424), which leaks O(flw * daice/step)
+    # into herr; with the init weight the closure is exact.
     fhatm_cell = jnp.where(
         grid.tmask,
         (fluxes["fswabs_gbm"] - fluxes["fswthru_gbm"]
          + fluxes["fsens_gbm"] + fluxes["flwout_gbm"]
-         + f.flw * fluxes["aice"]) if calc_Tsfc else
+         + f.flw * aice_init) if calc_Tsfc else
         (fluxes["fsurf_gbm"] - fluxes["flat_gbm"]), 0.0)
     frz_cell = fluxes["frazil"] * cn.rhoi  # m/step -> kg/m^2 over dt
 
@@ -141,7 +146,8 @@ def runtime_diags(state: State, grid: Grid, fluxes=None, forcing=None,
         sfsalt = jnp.sum(fluxes["fsalt_gbm"] * tar) * dt
         fhocn = jnp.sum(fluxes["fhocn_gbm"] * tar)
         fhatm = jnp.sum(fhatm_cell * tar)
-        fhfrz = jnp.sum(jnp.maximum(state.frzmlt, 0.0) * tar)
+        frzmlt_used = fluxes.get("frzmlt_init", state.frzmlt)
+        fhfrz = jnp.sum(jnp.maximum(frzmlt_used, 0.0) * tar)
 
         mice = cn.rhoi * out[f"volume_{hem}"]
         msnw = cn.rhos * out[f"snw_vol_{hem}"]

@@ -121,12 +121,21 @@ class IceModelRun:
             self.history = History(
                 grid, histfreq=cfg.run.histfreq,
                 histfreq_n=cfg.run.histfreq_n, avg=cfg.run.hist_avg,
-                directory=cfg.run.history_dir, itd=model.itd)
+                directory=cfg.run.history_dir, itd=model.itd,
+                fmt=cfg.run.history_format)
         return self
 
     # -- run ----------------------------------------------------------------
 
-    def run(self, npt: int | None = None):
+    def run(self, npt: int | None = None, on_diag=None):
+        """Run npt steps (default cfg.run.npt).
+
+        on_diag: optional callback ``(istep, diags: dict) -> None``
+        invoked at every diagnostic interval with the structured
+        runtime_diags values — the public hook for harnesses that
+        collect trajectories (e.g. the gx3-month parity run) instead
+        of re-implementing this loop.
+        """
         cfg = self.cfg
         cal = self.calendar
         npt = npt if npt is not None else cfg.run.npt
@@ -167,6 +176,9 @@ class IceModelRun:
                     d = self._diag(self.state, fluxes, f, init_diag)
                     jax.block_until_ready(d)
                     self.log(format_diags(cal.istep, d))
+                    if on_diag is not None:
+                        on_diag(cal.istep,
+                                {k: float(v) for k, v in d.items()})
                     if self._points:
                         pd = point_diags(self.state, self.grid, fluxes,
                                          f, cfg.run.dt, self._points)

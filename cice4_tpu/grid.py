@@ -251,6 +251,29 @@ def load_pop_grid(grid_file: str, kmt_file: str, nx: int, ny: int,
     return _make_grid(fields, bc, dtype)
 
 
+def load_panarctic_grid(grid_file: str, nx: int, ny: int,
+                        bc: BoundaryConditions,
+                        dtype=jnp.float32) -> Grid:
+    """Read the pan-Arctic (PIPS rotated-spherical) regional grid
+    (``ice_grid.F90 panarctic_grid:848-967``).
+
+    Single big-endian float64 file, 8 records of (ny, nx):
+    KMT (land mask, in-file — no separate kmt file), ULAT (rad),
+    ULON (rad), HTN (cm), HTE (cm), HUS (cm), HUW (cm), ANGLE (rad).
+    Regional: open boundaries on all sides (pair with
+    ``ice_restoring`` via ``forcing.restore_ice``).
+    """
+    raw = np.fromfile(grid_file, dtype=">f8", count=8 * nx * ny)
+    recs = raw.reshape(8, ny, nx).astype(np.float64)
+    kmt, ulat, ulon, htn, hte, _hus, _huw, angle = recs
+    hm = np.minimum(kmt, 1.0)
+    hm = np.where(hm >= 1.0, 1.0, 0.0)
+    htn = htn * cn.cm_to_m
+    hte = hte * cn.cm_to_m
+    fields = _derive_metrics(htn, hte, ulat, ulon, angle, hm, bc)
+    return _make_grid(fields, bc, dtype)
+
+
 def make_rect_grid(nx: int, ny: int, bc: BoundaryConditions,
                    dx: float = 30.0e3, dy: float = 30.0e3,
                    lat_origin: float = 71.35, lon_origin: float = -156.5,
@@ -339,6 +362,9 @@ def make_grid(cfg: Config, dtype=jnp.float32) -> Grid:
         return load_pop_grid(g.grid_file, g.kmt_file,
                              cfg.domain.nx_global, cfg.domain.ny_global,
                              bc, dtype)
+    if g.grid_type == "panarctic":
+        return load_panarctic_grid(g.grid_file, cfg.domain.nx_global,
+                                   cfg.domain.ny_global, bc, dtype)
     if g.grid_type in ("rectangular", "column"):
         return make_rect_grid(cfg.domain.nx_global, cfg.domain.ny_global, bc,
                               dx=g.dx_rect, dy=g.dy_rect,
@@ -374,3 +400,74 @@ def to_tgrid(grid: Grid, f):
     w = f * grid.uarea
     num = (w + h.nbr_w(w, bc) + h.nbr_s(w, bc) + h.nbr_sw(w, bc))
     return 0.25 * num * grid.tarear
+
+
+def gridbox_corners(grid: Grid) -> dict:
+    """Approximate cell-corner coordinates for history metadata
+    (``ice_grid.F90 gridbox_verts:2128-2246`` for T cells from the U
+    coordinates, ``gridbox_corners:1948-2122`` for U cells from the T
+    coordinates; both use linear extrapolation at the open edges, so
+    the fields are approximate by design).
+
+    Returns numpy arrays (host-side metadata, not part of the compute
+    graph): lont_bounds/latt_bounds/lonu_bounds/latu_bounds, each
+    (4, ny, nx) in degrees, corner order SW, SE, NE, NW; longitudes
+    normalized to [0, 360).
+    """
+    def shift_sw(a):                       # value at (j-1, i-1)
+        v = np.empty_like(a)
+        v[1:, 1:] = a[:-1, :-1]
+        v[0, :] = 2.0 * v[1, :] - v[2, :]  # extrapolate row 0
+        v[:, 0] = 2.0 * v[:, 1] - v[:, 2]  # extrapolate col 0
+        return v
+
+    def shift_s(a):                        # value at (j-1, i)
+        v = np.empty_like(a)
+        v[1:, :] = a[:-1, :]
+        v[0, :] = 2.0 * v[1, :] - v[2, :]
+        return v
+
+    def shift_w(a):                        # value at (j, i-1)
+        v = np.empty_like(a)
+        v[:, 1:] = a[:, :-1]
+        v[:, 0] = 2.0 * v[:, 1] - v[:, 2]
+        return v
+
+    def shift_ne(a):                       # value at (j+1, i+1)
+        v = np.empty_like(a)
+        v[:-1, :-1] = a[1:, 1:]
+        v[-1, :] = 2.0 * v[-2, :] - v[-3, :]
+        v[:, -1] = 2.0 * v[:, -2] - v[:, -3]
+        return v
+
+    def shift_n(a):                        # value at (j+1, i)
+        v = np.empty_like(a)
+        v[:-1, :] = a[1:, :]
+        v[-1, :] = 2.0 * v[-2, :] - v[-3, :]
+        return v
+
+    def shift_e(a):                        # value at (j, i+1)
+        v = np.empty_like(a)
+        v[:, :-1] = a[:, 1:]
+        v[:, -1] = 2.0 * v[:, -2] - v[:, -3]
+        return v
+
+    def lon_deg(a):
+        return np.mod(np.rad2deg(a) + 360.0, 360.0)
+
+    out = {}
+    # T-cell corners are the surrounding U (NE-corner) points
+    for name, fld, to_deg in (("lont_bounds", grid.ulon, lon_deg),
+                              ("latt_bounds", grid.ulat, np.rad2deg)):
+        a = np.asarray(fld, dtype=np.float64)
+        sw, se = shift_sw(a), shift_s(a)
+        ne, nw = a.copy(), shift_w(a)
+        out[name] = to_deg(np.stack([sw, se, ne, nw]))
+    # U-cell corners are the surrounding T points
+    for name, fld, to_deg in (("lonu_bounds", grid.tlon, lon_deg),
+                              ("latu_bounds", grid.tlat, np.rad2deg)):
+        a = np.asarray(fld, dtype=np.float64)
+        sw, se = a.copy(), shift_e(a)
+        ne, nw = shift_ne(a), shift_n(a)
+        out[name] = to_deg(np.stack([sw, se, ne, nw]))
+    return out

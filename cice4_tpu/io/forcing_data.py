@@ -190,6 +190,35 @@ class _FileDataset:
         b = self.reader.read(self._path(pathfn, fyear), ixx)
         return c1 * a + c2 * b
 
+    def read_daily(self, pathfn, cal: Calendar):
+        """Two bracketing DAILY records + weights; data located at the
+        middle of each 24-hour period (``ECMWF_data:2399-2440``,
+        dataloc=1, maxrec=365)."""
+        fyear = forcing_year(cal, self.fyear_init, self.ycycle)
+        maxrec = 365
+        recnum = min(int(cal.yday), maxrec)
+        ixm = (recnum + maxrec - 2) % maxrec + 1
+        ixx = (recnum - 1) % maxrec + 1
+        ixp = recnum % maxrec + 1
+        first_half = cal.sec < 0.5 * 86400.0
+        recslot = 2 if first_half else 1
+        c1, c2 = interp_coeff(recnum, recslot, 86400.0, 1, cal.time,
+                              float(cal.days_per_year))
+        if first_half:
+            r1, r2 = ixm, ixx
+            y1 = fyear - 1 if (ixx == 1 and fyear > self.fyear_init) \
+                else fyear
+            if ixx == 1 and fyear == self.fyear_init:
+                r1 = ixx      # persistence at cycle start
+        else:
+            r1, r2 = ixx, ixp
+            y1 = fyear
+        y2 = fyear + 1 if (r2 < r1 and fyear < self.fyear_final) \
+            else fyear
+        a = self.reader.read(self._path(pathfn, y1), r1)
+        b = self.reader.read(self._path(pathfn, y2), r2)
+        return c1 * a + c2 * b
+
     def read_monthly(self, pathfn, cal: Calendar, climatology=False):
         """Two bracketing mid-month records + weights; monthly data
         wraps periodically across the forcing cycle."""
@@ -582,6 +611,178 @@ class MonthlyForcing(_AtmFileForcing):
                          stray=stray)
 
 
+class EcmwfForcing(_AtmFileForcing):
+    """ECMWF (Maslowski pan-Arctic) dataset: DAILY states/radiation +
+    monthly climatological precip and air density
+    (``ecmwf_files:2237-2312``, ``ECMWF_data:2316-2474``)."""
+
+    LAYOUT = {
+        "sol": ("day", "sol_{year}.r"),
+        "flo": ("day", "flo_{year}.r"),
+        "ucmp": ("day", "ucmp_{year}.r"),
+        "vcmp": ("day", "vcmp_{year}.r"),
+        "tair": ("day", "tair_{year}.r"),
+        "qa": ("day", "qa_{year}.r"),
+        "prec": ("clim", "prec_lanl_12.r"),
+        "rhoa": ("clim", "rhoa_ncar85-88_12.r"),
+    }
+
+    def _pathfn(self, name):
+        cadence, tmpl = self.LAYOUT[name]
+        if cadence == "clim":
+            p = os.path.join(self.dir, tmpl)
+            return lambda year: p
+        ref = os.path.join(self.dir, tmpl)
+        return lambda year: ref.format(year=year)
+
+    def _read_all(self, cal: Calendar) -> dict:
+        out = {}
+        for name, (cadence, _t) in self.LAYOUT.items():
+            fn = self._pathfn(name)
+            if cadence == "day":
+                out[name] = self.read_daily(fn, cal)
+            else:
+                out[name] = self.read_monthly(fn, cal, climatology=True)
+        return out
+
+    def _prepare_impl(self, raw, base, yday, sec, Tsfc, sst, aice):
+        return _finish_forcing(self, base, raw["tair"], raw["qa"],
+                               raw["rhoa"], raw["ucmp"], raw["vcmp"],
+                               raw["sol"], raw["flo"], raw["prec"],
+                               self.cfg.forcing.precip_units)
+
+
+class HadgemForcing(_AtmFileForcing):
+    """HadGEM monthly netCDF dataset (``hadgem_files:2863-3041``,
+    ``hadgem_data:3051-3297``, calc_Tsfc branch): monthly rain/snow,
+    10 m winds, SW/LW down, t/rho/q at 10 m."""
+
+    #: name -> (netCDF variable, filename stem)
+    NC_FIELDS = {
+        "rain": ("rainfall", "rainfall"),
+        "snow": ("snowfall", "snowfall"),
+        "u_10": ("u_10", "u_10"),
+        "v_10": ("v_10", "v_10"),
+        "fsw": ("SW_incoming", "SW_incoming"),
+        "flw": ("LW_incoming", "LW_incoming"),
+        "tair": ("t_10", "t_10"),
+        "rhoa": ("rho_10", "rho_10"),
+        "qa": ("q_10", "q_10"),
+    }
+    LAYOUT = {k: ("mon", f"MONTHLY/{stem}.{{year}}.nc")
+              for k, (_v, stem) in NC_FIELDS.items()}
+
+    def _read_nc_month(self, name, year, month):
+        from scipy.io import netcdf_file
+        path = self._pathfn(name)(year)
+        var = self.NC_FIELDS[name][0]
+        key = (path, var, month)
+        cache = self.reader._cache
+        if key not in cache:
+            with netcdf_file(path, "r", mmap=False) as f:
+                v = f.variables[var]
+                arr = np.array(v[month - 1], dtype=np.float64)
+            cache[key] = arr.reshape(self.reader.ny, self.reader.nx)
+        return cache[key]
+
+    def _probe(self):
+        if not self.dir or not os.path.isdir(self.dir):
+            return False
+        return all(os.path.exists(self._pathfn(n)(self.fyear_init))
+                   for n in self.LAYOUT)
+
+    def _read_all(self, cal: Calendar) -> dict:
+        fyear = forcing_year(cal, self.fyear_init, self.ycycle)
+        m1, m2, c1, c2 = monthly_bracket(cal)
+        y1 = y2 = fyear
+        if m1 > m2 and cal.month == 1:
+            y1 = fyear - 1 if fyear > self.fyear_init else self.fyear_final
+        if m1 > m2 and cal.month == 12:
+            y2 = fyear + 1 if fyear < self.fyear_final else self.fyear_init
+        out = {}
+        for name in self.NC_FIELDS:
+            a = self._read_nc_month(name, y1, m1)
+            b = self._read_nc_month(name, y2, m2)
+            out[name] = c1 * a + c2 * b
+        return out
+
+    def _prepare_impl(self, raw, base, yday, sec, Tsfc, sst, aice):
+        f = _finish_forcing(self, base, raw["tair"], raw["qa"],
+                            raw["rhoa"], raw["u_10"], raw["v_10"],
+                            raw["fsw"], raw["flw"],
+                            raw["rain"] + raw["snow"], "mm_per_sec")
+        # the dataset splits rain/snow itself (hadgem_data ":3118-3135")
+        return f.replace(frain=jnp.maximum(raw["rain"], 0.0),
+                         fsnow=jnp.maximum(raw["snow"], 0.0))
+
+
+class RctForcing:
+    """Hourly single-point (Barrow 1989) netCDF met dataset broadcast
+    over the grid (``rct_data:2066-2226``; HARDWIRED for dt = 1 h).
+
+    Qa is derived from relative humidity via the Hyland-Wexler
+    saturation pressure exactly as the reference does."""
+
+    MET_FILE = "hourlymet_brw1989_5yr.nc"
+    SOLAR_FILE = "hourlysolar_brw1989_5yr.nc"
+    RH_FILE = "hourlymet_rh_5yr.nc"
+
+    def __init__(self, cfg: Config, grid: Grid, dtype=jnp.float32):
+        self.cfg = cfg
+        self.grid = grid
+        self.dtype = dtype
+        self.dir = cfg.forcing.atm_data_dir
+        self.analytic = AnalyticForcing(cfg, grid, dtype)
+        self.available = all(
+            os.path.exists(os.path.join(self.dir or "", p))
+            for p in (self.MET_FILE, self.SOLAR_FILE, self.RH_FILE)) \
+            if self.dir else False
+        self._nc = {}
+
+    def _col(self, fname, var, rec):
+        from scipy.io import netcdf_file
+        path = os.path.join(self.dir, fname)
+        if fname not in self._nc:
+            self._nc[fname] = netcdf_file(path, "r", mmap=False)
+        v = self._nc[fname].variables[var]
+        return float(np.asarray(v[rec - 1]).reshape(-1)[0])
+
+    @staticmethod
+    def _qa_hyland_wexler(Temp, rh):
+        """Specific humidity from T (K) + RH (%) (``rct_data`` local
+        Hyland-Wexler block, constants ps1..ps6/ws1/Pair)."""
+        ps1, ps2, ps3 = 0.58002206e4, 0.13914993e1, 0.48640239e-1
+        ps4, ps5, ps6 = 0.41764768e-4, 0.14452093e-7, 0.65459673e1
+        ws1, Pair = 621.97, 1020.0
+        Psat = np.exp(-ps1 / Temp + ps2 - ps3 * Temp + ps4 * Temp**2
+                      - ps5 * Temp**3 + ps6 * np.log(Temp)) * 0.01
+        ws = ws1 * Psat / (Pair - Psat)   # g/kg
+        return ws * rh / 100.0 * 0.001    # kg/kg
+
+    def ocean_update(self, state, cal, dt):
+        return state
+
+    def __call__(self, yday, sec, cal=None, state=None) -> Forcing:
+        base = self.analytic(yday, sec, cal=cal, state=state)
+        if not self.available or cal is None:
+            return base
+        rec = max(cal.istep, 1)
+        Temp = self._col(self.MET_FILE, "Tair", rec)
+        uatm = self._col(self.MET_FILE, "Uatm", rec)
+        vatm = self._col(self.MET_FILE, "Vatm", rec)
+        fsw = max(self._col(self.SOLAR_FILE, "fsw", rec), 0.0)
+        rh = self._col(self.RH_FILE, "rh", rec)
+        Qa = self._qa_hyland_wexler(Temp, rh)
+        g = self.grid
+        full = lambda v: jnp.full((g.ny, g.nx), v, self.dtype)  # noqa
+        swvdr, swvdf, swidr, swidf = split_shortwave(full(fsw))
+        wind = float(np.hypot(uatm, vatm))
+        return base.replace(
+            Tair=full(Temp), potT=full(Temp), Qa=full(Qa),
+            uatm=full(uatm), vatm=full(vatm), wind=full(wind),
+            swvdr=swvdr, swvdf=swvdf, swidr=swidr, swidf=swidf)
+
+
 # ---------------------------------------------------------------------------
 # ocean climatology + SST restoring
 # ---------------------------------------------------------------------------
@@ -663,6 +864,9 @@ _ATM_DATASETS = {
     "ncar": NcarBulkForcing,
     "LYq": LYqForcing,
     "monthly": MonthlyForcing,
+    "ecmwf": EcmwfForcing,
+    "hadgem": HadgemForcing,
+    "rct": RctForcing,
     "bin": NcarBulkForcing,
 }
 

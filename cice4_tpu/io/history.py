@@ -144,7 +144,6 @@ def default_fields(itd=None) -> dict[str, HistField]:
           _flux("fcondtop")),
         F("fmeltt_ai", "W/m^2", "top melt heat flux",
           lambda s, fx, agg: (jnp.sum(fx["fmelttn_ai"], 0)
-                              * cn.rhoi * cn.Lfresh / fx.get("_dt", 3600.0)
                               if "fmelttn_ai" in fx else None)),
         F("icepresent", "1", "fraction of time-avg with ice",
           lambda s, fx, agg: (agg["aice"] > cn.puny).astype(s.sst.dtype)),
@@ -262,10 +261,7 @@ def default_fields(itd=None) -> dict[str, HistField]:
         F("flatn_ai", "W/m^2", "latent heat flux, categories",
           _flux("flatn_ai"), dims="3Dc"),
         F("fmelttn_ai", "W/m^2", "top melt heat flux, categories",
-          lambda s, fx, agg: (fx["fmelttn_ai"] * cn.rhoi * cn.Lfresh
-                              / fx.get("_dt", 3600.0)
-                              if "fmelttn_ai" in fx else None),
-          dims="3Dc"),
+          _flux("fmelttn_ai"), dims="3Dc"),
         F("apondn", "1", "melt pond fraction, categories",
           lambda s, fx, agg: (jnp.minimum(jnp.sqrt(jnp.maximum(
               s.trcrn["volpn"], 0.0) / 0.8), 1.0)
@@ -318,7 +314,8 @@ class HistoryStream:
 
     def __init__(self, grid: Grid, fields: dict[str, HistField],
                  freq: str = "m", freq_n: int = 1, avg: bool = True,
-                 directory: str = "./history", prefix: str = "iceh"):
+                 directory: str = "./history", prefix: str = "iceh",
+                 fmt: str = "nc"):
         self.grid = grid
         self.fields = fields
         self.freq = freq
@@ -326,8 +323,10 @@ class HistoryStream:
         self.avg = avg
         self.dir = directory
         self.prefix = prefix
+        self.fmt = fmt          # "nc" (icecdf) or "bin" (icebin)
         self.sums: dict[str, jnp.ndarray] = {}
         self.count = 0
+        self._corners = None    # gridbox corner metadata, built once
 
     def accumulate(self, state: State, fluxes: dict, agg=None):
         if agg is None:
@@ -347,6 +346,8 @@ class HistoryStream:
     def write(self, idate: int, time_days: float) -> str | None:
         if self.count == 0:
             return None
+        if self.fmt == "bin":
+            return self._write_bin(idate, time_days)
         from scipy.io import netcdf_file
 
         os.makedirs(self.dir, exist_ok=True)
@@ -387,6 +388,21 @@ class HistoryStream:
                 v[:] = arr.astype(np.float32)
                 v.units = units.encode()
                 v.long_name = lname.encode()
+            # gridbox-corner metadata (ice_grid.F90 gridbox_corners:
+            # 1948-2122; CF "bounds" attributes for cell geometry)
+            if self._corners is None:
+                from cice4_tpu.grid import gridbox_corners
+                self._corners = gridbox_corners(g)
+            nc.createDimension("nvertices", 4)
+            for nm, units in (("lont_bounds", "degrees_east"),
+                              ("latt_bounds", "degrees_north"),
+                              ("lonu_bounds", "degrees_east"),
+                              ("latu_bounds", "degrees_north")):
+                v = nc.createVariable(nm, "f", ("nvertices", "nj", "ni"))
+                v[:] = self._corners[nm].astype(np.float32)
+                v.units = units.encode()
+                v.long_name = (nm[:3] + " bounds, corners "
+                               "SW SE NE NW").encode()
             count = self.count
             land = ~np.asarray(g.tmask)
             dims_of = {"2D": ("time", "nj", "ni"),
@@ -408,13 +424,55 @@ class HistoryStream:
         self.count = 0
         return path
 
+    def _write_bin(self, idate: int, time_days: float) -> str:
+        """Binary history stream (``ice_history.F90 icebin:3244-3474``):
+        a flat big-endian float64 record per field plus an ASCII
+        header file describing the records — the reference's
+        ``histfreq`` binary alternative to netCDF."""
+        os.makedirs(self.dir, exist_ok=True)
+        path = os.path.join(self.dir, f"{self.prefix}.{idate}.da")
+        hdr = os.path.join(self.dir, f"{self.prefix}.{idate}.hdr")
+        g = self.grid
+        count = self.count
+        land = ~np.asarray(g.tmask)
+        lines = [f"{'record':>6s}  {'levels':>6s}  name  units  "
+                 f"long_name",
+                 f"# grid ni={g.nx} nj={g.ny} time_days={time_days}"]
+        rec = 0
+        with open(path, "wb") as fh:
+            for nm, arr, units, lname in [
+                ("TLON", np.rad2deg(np.asarray(g.tlon)), "degrees_east",
+                 "T grid center longitude"),
+                ("TLAT", np.rad2deg(np.asarray(g.tlat)),
+                 "degrees_north", "T grid center latitude"),
+                ("tarea", np.asarray(g.tarea), "m^2", "T cell area"),
+            ]:
+                fh.write(arr.astype(">f8").tobytes())
+                rec += 1
+                lines.append(f"{rec:6d}  {1:6d}  {nm}  {units}  {lname}")
+            for name, total in self.sums.items():
+                f = self.fields[name]
+                norm = 1.0 / count if (self.avg and f.avg) else 1.0
+                data = np.asarray(jax.device_get(total)) * norm
+                data = np.where(land, cn.spval, data)
+                flat = data.reshape(-1, g.ny, g.nx)
+                fh.write(flat.astype(">f8").tobytes())
+                rec += flat.shape[0]
+                lines.append(f"{rec:6d}  {flat.shape[0]:6d}  {name}  "
+                             f"{f.units}  {f.long_name}")
+        with open(hdr, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        self.sums = {}
+        self.count = 0
+        return path
+
 
 class History:
     """Multi-stream history manager (`histfreq` tuple of codes)."""
 
     def __init__(self, grid: Grid, histfreq=("m",), histfreq_n=(1,),
                  avg=True, directory="./history", prefix="iceh",
-                 fields=None, itd=None):
+                 fields=None, itd=None, fmt="nc"):
         fields = fields or default_fields(itd)
         self.streams = []
         for k, freq in enumerate(histfreq):
@@ -424,7 +482,7 @@ class History:
             suffix = prefix if k == 0 else f"{prefix}{k + 1}"
             self.streams.append(
                 HistoryStream(grid, fields, freq, n, avg, directory,
-                              suffix))
+                              suffix, fmt=fmt))
 
         self._mlt_onset = None
         self._frz_onset = None

@@ -197,8 +197,12 @@ def _step_therm1(model: Model, state: State, grid: Grid, f: Forcing,
     if cfg.run.guards:
         # conservation_check_vthermo (ice_therm_vertical.F90:4511-4613)
         from cice4_tpu.guards import check_vthermo
+        # NB: fx["fswint"] is the solve's ADJUSTED interior absorption
+        # (thin-layer SW moved to the surface), the value the reference
+        # passes to the check (intent(inout), ice_therm_vertical.F90
+        # :1563-1591, :461)
         guards["thermo energy conservation (W/m^2)"] = check_vthermo(
-            dt, fx["fsurfn"], fx["flatn"], sw["fswint"],
+            dt, fx["fsurfn"], fx["flatn"], fx["fswint"],
             fx["fhocnn"], f.fsnow[None], fx["einit"], fx["efinal"],
             aicen_init > cn.a_negligible(aicen_init.dtype))
 
@@ -238,8 +242,31 @@ def _step_therm1(model: Model, state: State, grid: Grid, f: Forcing,
     ]:
         src = sw["fswthru"] if per_ice is None else fx[per_ice]
         merged[name] = jnp.sum(src * w, axis=0)
+    # the coupler-facing flwout includes the REFLECTED downwelling LW
+    # (the surface absorbs only emissivity*flw; the atmosphere needs
+    # the full upward radiative BC) — ice_flux.F90 merge_fluxes:739-740
+    merged["flwout"] = merged["flwout"] \
+        - (1.0 - cn.emissivity) * f.flw * jnp.sum(w, axis=0)
+    ponds_active = ("volpn" in state.trcrn
+                    and cfg.radiation.shortwave == "dEdd")
+    if not ponds_active:
+        # rain over ice passes through to the ocean.  The reference
+        # books rain as a budget INPUT (runtime_diags rnn,
+        # ice_diagnostics.F90:461-466) but, with melt ponds off,
+        # never adds it to `fresh` — its standalone water ledger
+        # leaks the full rain-over-ice flux (later CICE versions add
+        # it to fresh; with tr_pond the reference stores part of it
+        # in the virtual pond volume instead).
+        merged["fresh"] = merged["fresh"] + f.frain * jnp.sum(w, axis=0)
     merged["rside"] = rside
     merged["fbot"] = fbot
+    # step-start freezing potential: the frazil formed THIS step used
+    # this value; coupling_prep overwrites state.frzmlt for the next
+    # step, so the budget-closure diagnostic needs the saved copy (the
+    # reference diags read the post-update field, ice_diagnostics.F90
+    # :448-452, and carry the resulting O(1e-4) herr noise — we close
+    # tightly instead)
+    merged["frzmlt_init"] = state.frzmlt
     # pre-step total concentration, the weight the reference's budget
     # diagnostics use for rain/snow input (ice_diagnostics.F90:461-474)
     merged["aice_init"] = jnp.sum(aicen_init, axis=0)
@@ -253,10 +280,18 @@ def _step_therm1(model: Model, state: State, grid: Grid, f: Forcing,
     # (ice_history.F90 f_fsurfn_ai etc.; "_ai" = times category area)
     for name, per_ice in [("fsurfn_ai", "fsurfn"),
                           ("fcondtopn_ai", "fcondtopn"),
-                          ("flatn_ai", "flatn"),
-                          ("fmelttn_ai", "meltt")]:
+                          ("flatn_ai", "flatn")]:
         merged[name] = fx[per_ice] * w
+    # instantaneous surface-melt heat flux, NOT realized-melt energy
+    # (ice_history.F90:1711-1714: max(fsurfn-fcondtopn,0)*aicen_init)
+    merged["fmelttn_ai"] = jnp.maximum(fx["fsurfn"] - fx["fcondtopn"],
+                                       0.0) * w
     merged["vice_init"] = jnp.sum(vicen_init, axis=0)
+    import os as _os
+    if _os.environ.get("CICE4_DEBUG_THERM1"):
+        merged["_dbg_therm1"] = {k: fx[k] for k in
+                                 ("einit", "efinal", "evapn", "fswint",
+                                  "fsurfn", "flatn", "fhocnn")}
     merged["_guards"] = guards
     return state, merged, dict(aicen_init=aicen_init,
                                vicen_init=vicen_init)

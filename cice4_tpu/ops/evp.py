@@ -430,13 +430,25 @@ def evp(state: State, grid: Grid, dyn: DynamicsConfig, dt: float,
     subcycle_args = (strength, icetmask, iceumask, aiu, uocn, vocn,
                      waterx, watery, forcex, forcey, umassdtei, fm,
                      uvel, vvel, stressp, stressm, stress12)
+    from cice4_tpu.parallel.mesh import get_active_mesh
+    mesh = get_active_mesh()
     if _use_pallas(dyn, grid):
         from cice4_tpu.ops.evp_pallas import evp_subcycle_pallas
         (uvel, vvel, stressp, stressm, stress12, d, strintx, strinty,
          strocnx, strocny) = evp_subcycle_pallas(p, grid, *subcycle_args)
     else:
-        (uvel, vvel, stressp, stressm, stress12, d, strintx, strinty,
-         strocnx, strocny) = _evp_subcycle_jnp(p, grid, *subcycle_args)
+        from cice4_tpu.ops.evp_sharded import (evp_subcycle_sharded,
+                                               sharded_eligible)
+        if sharded_eligible(grid, mesh):
+            # k-halo fast path: one exchange per H-1 subcycles instead
+            # of GSPMD's per-roll permutes (SURVEY §7 hard-part 1)
+            (uvel, vvel, stressp, stressm, stress12, d, strintx,
+             strinty, strocnx, strocny) = evp_subcycle_sharded(
+                p, grid, mesh, *subcycle_args)
+        else:
+            (uvel, vvel, stressp, stressm, stress12, d, strintx,
+             strinty, strocnx, strocny) = _evp_subcycle_jnp(
+                p, grid, *subcycle_args)
 
     divu = p25 * d["div_sum"] * grid.tarear
     delta_mean = p25 * d["delta_sum"] * grid.tarear

@@ -112,6 +112,15 @@ def _ridge_shift(dyn: DynamicsConfig, itd: ItdParams, dt, carry,
 
         # weighted tracers leave the donor (tracer values unchanged)
         tsfc_a = tsfc_a.at[n].add(-ardg1n * carry["tsfcn"][n])
+        # level-ice tracers: level and ridged ice ridge proportionally,
+        # so the level portion of the ridging ice leaves the level
+        # tracers — an extra multiplicative decrement applied BEFORE
+        # the general weighted subtraction (ice_mechred.F90 ridge_shift
+        # :1474-1482; the general loops :1546+, :1717+ also act on
+        # alvl/vlvl)
+        for name in ("alvl", "vlvl"):
+            if name in atrcrn:
+                atrcrn[name] = atrcrn[name].at[n].multiply(1.0 - afrac)
         datr = {}
         for name in atrcrn:
             dep = TRACER_DEPEND[name]
@@ -156,16 +165,20 @@ def _ridge_shift(dyn: DynamicsConfig, itd: ItdParams, dt, carry,
             eicen = eicen.at[nr].add(fvol[None] * eirdgn)
             esnon = esnon.at[nr].add(fvol[None] * esrdgn * fsnowrdg)
             tsfc_a = tsfc_a.at[nr].add(farea * ardg2n * carry["tsfcn"][n])
+            # the general deposit loops act on ALL tracers, including
+            # alvl/vlvl (ice_mechred.F90 :1717+ has no tr_lvl skip; the
+            # level-ice budget's ridge consumption comes from the extra
+            # donor decrement above).  NB the area-tracer deposit is
+            # weighted by the RIDGED area ardg2n (":1726-1729"), not
+            # the consumed area ardg1n that left the donor — ridging
+            # does not conserve global aicen*trcrn for area tracers
+            # (reference note ":1711-1715")
             for name in atrcrn:
-                if name in ("alvl", "vlvl"):
-                    # ridged ice is not level ice: the level tracers
-                    # leave the donor but are NOT deposited
-                    # (ice_mechred.F90 ridge_shift:1470-1482)
-                    continue
                 dep = TRACER_DEPEND[name]
-                fr = farea if dep == 0 else fvol
-                mult = fsnowrdg if dep == 2 else 1.0
-                atrcrn[name] = atrcrn[name].at[nr].add(fr * mult * datr[name])
+                amt = {0: farea * ardg2n, 1: fvol * virdgn,
+                       2: fvol * vsrdgn * fsnowrdg}[dep]
+                atrcrn[name] = atrcrn[name].at[nr].add(
+                    amt * carry["trcrn"][name][n])
 
     tsfcn, trcrn = _compute_tracers(atrcrn, tsfc_a, aicen, vicen, vsnon,
                                     list(atrcrn.keys()))

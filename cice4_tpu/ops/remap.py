@@ -907,10 +907,18 @@ def _use_pallas_remap(grid, dtype) -> bool:
         backend = jax.default_backend()
     if backend != "tpu" or jax.device_count() != 1:
         return False
-    # per-category kernel working set: GA (90 planes) + tracer stacks
-    # + reconstruction temporaries; stay well under the 128 MB VMEM
-    plane = grid.ny * grid.nx * jnp.dtype(dtype).itemsize
-    return 140 * plane < 100 * 1024 * 1024
+    from cice4_tpu.ops.remap_pallas import _HALO, pad_nx
+    nxp = pad_nx(grid.nx)
+    if grid.bc.ew == "cyclic" and 0 < nxp - grid.nx < 2 * _HALO:
+        return False  # no room for the cyclic wrap halo in the x pad
+    # K2 streams tracer CHUNKS (remap_pallas_divergence picks the
+    # chunk size to bound its VMEM live set), so eligibility is set by
+    # the un-chunkable K0 working set: the 90 GA scatter-accumulator
+    # planes + ~30 planes of triangle-geometry temporaries, all VMEM
+    # resident (fits gx1's padded 384x384; 0.25-deg 1440x1080 falls
+    # back to the jnp path until K0 is spatially blocked).
+    plane = grid.ny * nxp * jnp.dtype(dtype).itemsize
+    return 120 * plane < 96 * 1024 * 1024
 
 
 def transport_remap(state: State, grid: Grid, dt,

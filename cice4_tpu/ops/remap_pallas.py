@@ -241,94 +241,168 @@ def _construct_vmem(mm, hm_real, tm, meta, sh):
     return mc, mx, my, tc, tx, ty
 
 
-def _construct_kernel(meta, ew, ns, hm_ref, mm_ref, tm_ref, rec_o):
-    """K1: van-Leer-limited reconstruction for one category."""
+def _construct_kernel(meta, ew, ns, hm_ref, mm_ref, tm_ref, mass_o,
+                      trc_o):
+    """K1: van-Leer-limited reconstruction for one category.
+
+    Outputs: mass planes (3, ny, nx) = [mc, mx, my] and the tracer
+    reconstruction in per-tracer-contiguous layout (T, 3, ny, nx) so
+    K2 can stream tracer CHUNKS through VMEM (the flat 3+3T layout
+    couldn't be block-sliced per tracer)."""
     ny, nx = hm_ref.shape
     dtype = hm_ref.dtype
     sh = PallasShift(ew, ns, ny, nx, dtype)
     mc, mx, my, tc, tx, ty = _construct_vmem(mm_ref[0], hm_ref[:],
                                              tm_ref[0], list(meta), sh)
-    rec_o[0] = jnp.concatenate(
-        [mc[None], mx[None], my[None], tc, tx, ty], axis=0)
+    mass_o[0] = jnp.stack([mc, mx, my], axis=0)
+    if len(meta):
+        trc_o[0] = jnp.stack([tc, tx, ty], axis=1)  # (T, 3, ny, nx)
 
 
-def _contract_kernel(meta, ew, ns, ga_ref, rec_ref, div_o, divt_o,
-                     ga_scr, sem):
+def _contract_kernel(meta, ew, ns, chunk, nchunks, parset, ga_ref,
+                     mass_ref, trc_ref, par_ref, div_o, divt_o):
     """K2: flux-divergence contraction in scatter form:
 
     ``div(c) = Σ_off S_off( S_-off(GA[off]) · U )(c)``
 
     where U_k are the monomial coefficients of the donor-cell product
-    polynomial — m (mass), m·t (type-1 rows), m·t_parent·t (type-2) —
-    computed on the fly from the VMEM-resident reconstruction, so no
-    shifted copies of the T-deep stacks are ever materialized.
+    polynomial m·p·t (p = parent tracer for type-2 rows, p ≡ 1 for
+    type-1 — the type-1 polynomial is exactly the p=1 special case,
+    so one formula covers all rows), computed on the fly from the
+    VMEM-resident reconstruction.
+
+    Grid = (ncat1, nchunk, 9): the offset is the minor grid dimension,
+    so the output block stays VMEM-resident across all 9 visits and
+    this kernel accumulates into it while Pallas's standard pipeline
+    streams each offset's 10 GA planes HBM->VMEM (the round-3 manual
+    ``make_async_copy`` from a ``pl.ANY`` ref crashed the TPU worker;
+    the grid pipeline is the supported way to stream).  The middle
+    dimension streams `chunk`-sized tracer batches, bounding the VMEM
+    live set for any T and grid size (gx1's full-T working set was
+    RESOURCE_EXHAUSTED).  The offset value is only known at trace
+    time as ``program_id(2)``, so the 9 statically-shifted variants
+    live in a ``lax.switch``; the chunk's row types/parents are
+    resolved per-chunk with another switch over nchunk variants.
     """
-    from cice4_tpu.ops.remap import ALL_OFFSETS, _n_type1
+    from cice4_tpu.ops.remap import ALL_OFFSETS
 
     meta = list(meta)
     T = len(meta)
-    n1 = _n_type1(meta)
-    par2 = [meta[k][2] for k in range(n1, T)]
     ny, nx = ga_ref.shape[-2:]
     dtype = ga_ref.dtype
     sh = PallasShift(ew, ns, ny, nx, dtype)
+    t = pl.program_id(1)
+    o = pl.program_id(2)
 
-    rec = rec_ref[0]
-    mc, mx, my = rec[0], rec[1], rec[2]
-    tc = rec[3:3 + T]
-    tx = rec[3 + T:3 + 2 * T]
-    ty = rec[3 + 2 * T:3 + 3 * T]
-    if par2:
-        pc = jnp.stack([tc[p] for p in par2])
-        px = jnp.stack([tx[p] for p in par2])
-        py = jnp.stack([ty[p] for p in par2])
-        c2, x2, y2 = tc[n1:], tx[n1:], ty[n1:]
-    c1, x1, y1 = tc[:n1], tx[:n1], ty[:n1]
+    mass = mass_ref[0]
+    mc, mx, my = mass[0], mass[1], mass[2]
+    trc = trc_ref[0]           # (chunk, 3, ny, nx)
+    c2, x2, y2 = trc[:, 0], trc[:, 1], trc[:, 2]
+    ga = ga_ref[0]             # (10, ny, nx): this offset's planes
 
-    div = jnp.zeros((ny, nx), dtype)
-    divt = jnp.zeros((T, ny, nx), dtype) if T else None
-    for o, off in enumerate(ALL_OFFSETS):
-        # stream this offset's 10 GA planes HBM -> VMEM
-        cp = pltpu.make_async_copy(ga_ref.at[o], ga_scr, sem)
-        cp.start()
-        cp.wait()
-        neg = (-off[0], -off[1])
-        g = [_shift_by(sh, ga_scr[k], neg) for k in range(10)]
-        g0, g1, g2, g3, g4, g5, g6, g7, g8, g9 = g
+    def parent_stack(tchunk):
+        """Static per-chunk parent planes (pc, px, py), each
+        (chunk, ny, nx): ones/zeros for type-1 rows, the parent row's
+        reconstruction for type-2."""
+        pcs, pxs, pys = [], [], []
+        one = jnp.ones((ny, nx), dtype)
+        zer = jnp.zeros((ny, nx), dtype)
+        for r in range(tchunk * chunk, (tchunk + 1) * chunk):
+            if r >= T or meta[r][1] != 2:
+                pcs.append(one), pxs.append(zer), pys.append(zer)
+            else:
+                pos = parset.index(meta[r][2])
+                pr = par_ref[0, pos]
+                pcs.append(pr[0]), pxs.append(pr[1]), pys.append(pr[2])
+        return (jnp.stack(pcs), jnp.stack(pxs), jnp.stack(pys))
 
-        p_mass = g0 * mc + g1 * mx + g2 * my
-        div = div + _shift_by(sh, p_mass, off)
-        if not T:
-            continue
-        p1 = (g0 * (mc * c1) + g1 * (mc * x1 + mx * c1)
-              + g2 * (mc * y1 + my * c1) + g3 * (mx * x1)
-              + g4 * (mx * y1 + my * x1) + g5 * (my * y1))
-        if par2:
+    if T:
+        pc, px, py = jax.lax.switch(
+            t, [partial(parent_stack, k) for k in range(nchunks)])
+
+    def offset_branch(off):
+        def branch():
+            neg = (-off[0], -off[1])
+            g = [_shift_by(sh, ga[k], neg) for k in range(10)]
+            g0, g1, g2, g3, g4, g5, g6, g7, g8, g9 = g
+
+            p_mass = g0 * mc + g1 * mx + g2 * my
+            dm = _shift_by(sh, p_mass, off)
+            if not T:
+                return dm
             mpc, mpx, mpy = mc * pc, mc * px, mc * py
             xpc, xpx, xpy = mx * pc, mx * px, mx * py
             ypc, ypx, ypy = my * pc, my * px, my * py
-            p2 = (g0 * (mpc * c2)
-                  + g1 * (xpc * c2 + mpx * c2 + mpc * x2)
-                  + g2 * (ypc * c2 + mpy * c2 + mpc * y2)
-                  + g3 * (xpx * c2 + xpc * x2 + mpx * x2)
-                  + g4 * (xpy * c2 + ypx * c2 + xpc * y2
-                          + ypc * x2 + mpx * y2 + mpy * x2)
-                  + g5 * (ypy * c2 + ypc * y2 + mpy * y2)
-                  + g6 * (xpx * x2)
-                  + g7 * (xpx * y2 + xpy * x2 + ypx * x2)
-                  + g8 * (xpy * y2 + ypx * y2 + ypy * x2)
-                  + g9 * (ypy * y2))
-            p = jnp.concatenate([p1, p2], axis=0)
-        else:
-            p = p1
-        divt = divt + _shift_by(sh, p, off)
+            p = (g0 * (mpc * c2)
+                 + g1 * (xpc * c2 + mpx * c2 + mpc * x2)
+                 + g2 * (ypc * c2 + mpy * c2 + mpc * y2)
+                 + g3 * (xpx * c2 + xpc * x2 + mpx * x2)
+                 + g4 * (xpy * c2 + ypx * c2 + xpc * y2
+                         + ypc * x2 + mpx * y2 + mpy * x2)
+                 + g5 * (ypy * c2 + ypc * y2 + mpy * y2)
+                 + g6 * (xpx * x2)
+                 + g7 * (xpx * y2 + xpy * x2 + ypx * x2)
+                 + g8 * (xpy * y2 + ypx * y2 + ypy * x2)
+                 + g9 * (ypy * y2))
+            return dm, _shift_by(sh, p, off)
+        return branch
 
-    div_o[0] = div
+    out = jax.lax.switch(o, [offset_branch(off) for off in ALL_OFFSETS])
+
+    @pl.when((o == 0) & (t == 0))
+    def _init_mass():
+        div_o[0] = out[0] if T else out
+
+    @pl.when((o > 0) & (t == 0))
+    def _acc_mass():
+        div_o[0] += out[0] if T else out
+
     if T:
-        divt_o[0] = divt
+        @pl.when(o == 0)
+        def _init_trc():
+            divt_o[0] = out[1]
+
+        @pl.when(o > 0)
+        def _acc_trc():
+            divt_o[0] += out[1]
 
 
 _VMEM = 128 * 1024 * 1024
+
+# Mosaic requires HBM slices (K2's per-offset GA stream) to be
+# lane-aligned: the last dim must be a multiple of 128.  Real grids
+# (gx3 nx=100, gx1 nx=320) are not, so the kernels run on an
+# x-padded copy.  _HALO columns of wrapped data on each side of the
+# pad keep cyclic-EW shifts exact: every kernel output at a real
+# column depends on inputs within ±4 columns (rec ±1, GA ±2, one
+# more shift in the contraction), so a 4-wide wrap halo reproduces
+# the unpadded cyclic values and the junk in the middle of the pad
+# can never reach a real column.
+_LANE = 128
+_HALO = 4
+
+
+def pad_nx(nx: int) -> int:
+    """Lane-aligned padded x size for the kernel working set."""
+    return -(-nx // _LANE) * _LANE
+
+
+def _pad_x(a, nxp, ew):
+    """Zero-pad trailing x to nxp; wrap-fill a _HALO-wide ring for
+    cyclic EW so in-kernel rolls at the pad seams stay exact."""
+    nx = a.shape[-1]
+    pad = nxp - nx
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+    out = jnp.pad(a, widths)
+    if ew == "cyclic":
+        if pad < 2 * _HALO:
+            raise ValueError(
+                f"cyclic x-pad {pad} too narrow for wrap halo {_HALO}")
+        out = out.at[..., nx:nx + _HALO].set(a[..., :_HALO])
+        out = out.at[..., nxp - _HALO:].set(a[..., nx - _HALO:])
+    return out
 
 
 def remap_pallas_divergence(dx, dy, afac, mm_ext, tm_ext, hm, meta,
@@ -338,7 +412,12 @@ def remap_pallas_divergence(dx, dy, afac, mm_ext, tm_ext, hm, meta,
     if jax.default_backend() != "tpu":
         interpret = True  # CPU tests run the kernels in interpret mode
     ncat1, T = tm_ext.shape[0], tm_ext.shape[1]
-    ny, nx = hm.shape
+    ny, nx_real = hm.shape
+    nx = pad_nx(nx_real)
+    if nx != nx_real:
+        dx, dy, afac, hm, mm_ext, tm_ext = (
+            _pad_x(a, nx, ew) for a in
+            (dx, dy, afac, hm, mm_ext, tm_ext))
     dtype = hm.dtype
     meta = tuple(meta)
 
@@ -347,8 +426,6 @@ def remap_pallas_divergence(dx, dy, afac, mm_ext, tm_ext, hm, meta,
     cat3 = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     cat4 = pl.BlockSpec((1, T, ny, nx), lambda i: (i, 0, 0, 0),
-                        memory_space=pltpu.VMEM)
-    rec4 = pl.BlockSpec((1, 3 + 3 * T, ny, nx), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     ga_spec = pl.BlockSpec((9, 10, ny, nx), lambda i: (0, 0, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -364,30 +441,71 @@ def remap_pallas_divergence(dx, dy, afac, mm_ext, tm_ext, hm, meta,
         interpret=interpret,
     )(dx, dy, afac)
 
-    # K1: reconstruction per category
-    rec = pl.pallas_call(
+    # K1: reconstruction per category -> mass (3) + per-tracer (T,3)
+    mass3 = pl.BlockSpec((1, 3, ny, nx), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    trc5 = pl.BlockSpec((1, T, 3, ny, nx), lambda i: (i, 0, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mass, trc = pl.pallas_call(
         partial(_construct_kernel, meta, ew, ns),
         grid=(ncat1,),
         in_specs=[glob2, cat3, cat4],
-        out_specs=rec4,
-        out_shape=jax.ShapeDtypeStruct((ncat1, 3 + 3 * T, ny, nx), dtype),
+        out_specs=(mass3, trc5),
+        out_shape=(jax.ShapeDtypeStruct((ncat1, 3, ny, nx), dtype),
+                   jax.ShapeDtypeStruct((ncat1, T, 3, ny, nx), dtype)),
         compiler_params=params,
         interpret=interpret,
     )(hm, mm_ext, tm_ext)
 
-    # K2: scatter-form divergence contraction per category; the GA
-    # planes stay in HBM and stream through a 10-plane VMEM scratch,
-    # one offset at a time
-    out = pl.pallas_call(
-        partial(_contract_kernel, meta, ew, ns),
-        grid=(ncat1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), rec4],
-        out_specs=(cat3, cat4),
+    # parent reconstructions (type-2 rows reference type-1 rows by
+    # index); a handful of rows (hi, hs), gathered once in XLA
+    parset = tuple(sorted({m[2] for m in meta if m[1] == 2}))
+    P = max(len(parset), 1)
+    par = trc[:, jnp.asarray(parset, jnp.int32)] if parset \
+        else jnp.zeros((ncat1, 1, 3, ny, nx), dtype)
+
+    # tracer chunk size: bound K2's VMEM live set (GA stream double-
+    # buffered + resident mass/parents + chunk-sized tracer block,
+    # accumulators and product temporaries ~26 planes per chunk row)
+    plane = ny * nx * jnp.dtype(dtype).itemsize
+    chunk = T
+    while chunk > 1 and (60 + 26 * chunk) * plane > 96 * 1024 * 1024:
+        chunk -= 1
+    nchunks = -(-T // chunk)
+    Tp = nchunks * chunk
+    if Tp != T:
+        trc = jnp.concatenate(
+            [trc, jnp.zeros((ncat1, Tp - T, 3, ny, nx), dtype)], axis=1)
+
+    # K2: scatter-form divergence contraction; grid (category, tracer
+    # chunk, offset) with the offset minor so the output block stays
+    # resident for accumulation while the pipeline streams GA planes
+    ga_o = pl.BlockSpec((1, 10, ny, nx), lambda i, t, o: (o, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mass_o = pl.BlockSpec((1, 3, ny, nx), lambda i, t, o: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    trc_o = pl.BlockSpec((1, chunk, 3, ny, nx),
+                         lambda i, t, o: (i, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    par_o = pl.BlockSpec((1, P, 3, ny, nx),
+                         lambda i, t, o: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    div_s = pl.BlockSpec((1, ny, nx), lambda i, t, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    divt_s = pl.BlockSpec((1, chunk, ny, nx),
+                          lambda i, t, o: (i, t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    div, divt = pl.pallas_call(
+        partial(_contract_kernel, meta, ew, ns, chunk, nchunks, parset),
+        grid=(ncat1, nchunks, 9),
+        in_specs=[ga_o, mass_o, trc_o, par_o],
+        out_specs=(div_s, divt_s),
         out_shape=(jax.ShapeDtypeStruct((ncat1, ny, nx), dtype),
-                   jax.ShapeDtypeStruct((ncat1, T, ny, nx), dtype)),
-        scratch_shapes=[pltpu.VMEM((10, ny, nx), dtype),
-                        pltpu.SemaphoreType.DMA],
+                   jax.ShapeDtypeStruct((ncat1, Tp, ny, nx), dtype)),
         compiler_params=params,
         interpret=interpret,
-    )(ga, rec)
-    return out
+    )(ga, mass, trc, par)
+    divt = divt[:, :T]
+    if nx != nx_real:
+        div, divt = div[..., :nx_real], divt[..., :nx_real]
+    return div, divt

@@ -421,6 +421,16 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
 
         enew = jnp.sum(hslyr[None] * qsn_new, 0) \
             + jnp.sum(hilyr[None] * (qin_new - dqmat), 0)
+        # energy removed by clamping over-warm layers back to Tmlt.
+        # The reference books it out of `enew` (":1996") so condition 5
+        # can pass with dqmat > 0, and then leaks it: efinal is built
+        # from the clamped qin, so conservation_check_vthermo sees a
+        # deficit of hilyr*dqmat/dt W/m^2 and aborts (the ACCESS branch
+        # simply disables that abort, ":4581").  We instead return it
+        # to the ocean via fhocnn, as the reference's own "echmod:
+        # return this energy to the ocean" note (":1943") intends —
+        # the column then conserves exactly and the guard stays strict.
+        dq_col = jnp.sum(hilyr[None] * dqmat, 0)
 
         # update fluxes for dTsf
         fsurfn_new = sf["fsurfn"] + dTsf * sf["dfsurf_dT"]
@@ -501,6 +511,7 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
                            carry["flatn"])
         out["flwoutn"] = mrg(sf["flwoutn"] + dTsf * sf["dflwout_dT"],
                              carry["flwoutn"])
+        out["dq_col"] = jnp.where(active, dq_col, carry["dq_col"])
         out["why"] = jnp.where(active, why, carry["why"])
         out["all_conv"] = jnp.all(out["converged"] | ~has_ice)
         out["niter"] = carry["niter"] + 1
@@ -510,7 +521,8 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
         Tsf=Tsf, Tsn=Tsn, Tin=Tin, qsn=qsn, qin=qin, kh=kh,
         dTsf_prev=zero, converged=jnp.zeros_like(has_ice),
         fsurfn=zero, fcondtopn=zero, fcondbot=zero,
-        fsensn=zero, flatn=zero, flwoutn=zero, why=jnp.zeros_like(has_ice, jnp.int32),
+        fsensn=zero, flatn=zero, flwoutn=zero, dq_col=zero,
+        why=jnp.zeros_like(has_ice, jnp.int32),
         all_conv=jnp.asarray(False), niter=jnp.asarray(0),
     )
     res = jax.lax.while_loop(cond, body, carry0)
@@ -522,6 +534,7 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
         fcondbot=res["fcondbot"], fsensn=res["fsensn"],
         flatn=res["flatn"], flwoutn=res["flwoutn"], fswabsn=fswabsn,
         fswsfc=fswsfc, fswint=fswint, Sswabs=Sswabs, Iswabs=Iswabs,
+        dq_flux=res["dq_col"] / dt,
         converged=res["converged"], niter=res["niter"], why=res["why"],
     )
 
@@ -647,6 +660,9 @@ def temperature_changes_know_tsfc(p: ThermoParams, dt, has_ice,
 
         enew = jnp.sum(hslyr[None] * qsn_new, 0) \
             + jnp.sum(hilyr[None] * (qin_new - dqmat), 0)
+        # Tmlt-clamp energy returned to the ocean (see the matching
+        # comment in temperature_changes)
+        dq_col = jnp.sum(hilyr[None] * dqmat, 0)
 
         # condition 5: energy conservation with prescribed fcondtopn
         # (same dtype-adaptive noise floor as temperature_changes)
@@ -686,6 +702,7 @@ def temperature_changes_know_tsfc(p: ThermoParams, dt, has_ice,
         out["kh"] = jnp.where(active[None], kh_new, carry["kh"])
         out["Ti1_prev"] = jnp.where(active, Ti1_raw, carry["Ti1_prev"])
         out["dTi1_prev"] = jnp.where(active, dTi1, carry["dTi1_prev"])
+        out["dq_col"] = jnp.where(active, dq_col, carry["dq_col"])
         out["fcondbot"] = mrg(fcondbot, carry["fcondbot"])
         out["converged"] = jnp.where(active, ~newly_unconv,
                                      carry["converged"])
@@ -695,7 +712,7 @@ def temperature_changes_know_tsfc(p: ThermoParams, dt, has_ice,
 
     carry0 = dict(
         Tsn=Tsn, Tin=Tin, qsn=qsn, qin=qin, kh=kh,
-        Ti1_prev=Tin[0], dTi1_prev=zero,
+        Ti1_prev=Tin[0], dTi1_prev=zero, dq_col=zero,
         converged=jnp.zeros_like(has_ice), fcondbot=zero,
         all_conv=jnp.asarray(False), niter=jnp.asarray(0),
     )
@@ -706,6 +723,7 @@ def temperature_changes_know_tsfc(p: ThermoParams, dt, has_ice,
         Tsn=res["Tsn"], Tin=res["Tin"], qsn=res["qsn"], qin=res["qin"],
         fcondbot=res["fcondbot"], fswabsn=fswabsn,
         fswsfc=fswsfc, fswint=fswint, Sswabs=Sswabs, Iswabs=Iswabs,
+        dq_flux=res["dq_col"] / dt,
         converged=res["converged"], niter=res["niter"],
     )
 
@@ -1109,7 +1127,7 @@ def thermo_vertical_category(p: ThermoParams, dt, aicen, vicen, vsnon,
                       fswabsn=kt["fswabsn"], fswsfc=kt["fswsfc"],
                       fswint=kt["fswint"], Sswabs=kt["Sswabs"],
                       Iswabs=kt["Iswabs"], converged=kt["converged"],
-                      niter=kt["niter"])
+                      dq_flux=kt["dq_flux"], niter=kt["niter"])
         else:
             # zero layer: fcondbot = fcondtopn (thermo_vertical:409-418)
             tc = dict(Tsf=Tsf, Tsn=Tsn, Tin=Tin, qsn=qsn, qin=qin,
@@ -1148,6 +1166,9 @@ def thermo_vertical_category(p: ThermoParams, dt, aicen, vicen, vsnon,
                            tc["qin"], tc["qsn"], fbot, Tbot,
                            tc["flatn"], tc["fsurfn"], tc["fcondtopn"],
                            tc["fcondbot"], fsnow)
+    # Tmlt-clamp energy removed by the temperature solve goes to the
+    # ocean (keeps the column budget exact; see temperature_changes)
+    th["fhocnn"] = th["fhocnn"] + tc.get("dq_flux", 0.0)
 
     # --- water/salt fluxes (":466-480") ------------------------------------
     dhi = th["hin"] - hin0
@@ -1185,6 +1206,11 @@ def thermo_vertical_category(p: ThermoParams, dt, aicen, vicen, vsnon,
         evapn=m(th["evapn"]), freshn=m(freshn), fsaltn=m(fsaltn),
         fhocnn=m(th["fhocnn"]), fsurfn=m(tc["fsurfn"]),
         fcondtopn=m(tc["fcondtopn"]),
+        # the SW the solve actually absorbed in the interior: the
+        # thin-layer adjustment (":1563-1591") moves part of
+        # Sswabs/Iswabs out of fswint, and the reference passes the
+        # ADJUSTED value (intent(inout)) to conservation_check_vthermo
+        fswint=m(tc["fswint"]),
         meltt=m(th["meltt"]), melts=m(th["melts"]), meltb=m(th["meltb"]),
         congel=m(th["congel"]), snoice=m(th["snoice"]),
         einit=m(einit), efinal=m(th["efinal"]),

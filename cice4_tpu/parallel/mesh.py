@@ -81,3 +81,26 @@ def pytree_shardings(tree, mesh: Mesh):
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(spec, tree)
+
+
+# ---------------------------------------------------------------------------
+# active-mesh context: lets ops opt into explicit shard_map fast paths
+# ---------------------------------------------------------------------------
+
+_ACTIVE_MESH = None
+
+
+def set_active_mesh(mesh):
+    """Register the mesh the model is being sharded over (or None).
+
+    GSPMD needs no registration — sharding propagates from the inputs —
+    but the hand-scheduled fast paths (k-halo EVP subcycling,
+    `ops/evp_sharded.py`) need the concrete mesh + axis names to issue
+    `shard_map`/`ppermute`.  The driver / dryrun sets this when it
+    shards the state; `None` restores pure-GSPMD behavior."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_active_mesh():
+    return _ACTIVE_MESH

@@ -275,3 +275,101 @@ def test_monthly_dataset_prescribed_stress(tmp_path):
     f = prov(cal.yday, cal.sec, cal=cal)
     np.testing.assert_allclose(np.asarray(f.strax), 0.1, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(f.wind), 5.0, rtol=1e-6)
+
+
+def test_ecmwf_daily_interpolation(tmp_path):
+    """ECMWF daily records + monthly climatological rhoa/precip
+    (``ECMWF_data:2316-2474``): mid-day-centered linear interpolation."""
+    nrec = 365
+    t = np.linspace(250.0, 280.0, nrec)[:, None, None] \
+        * np.ones((1, NY, NX))
+    for stem, val in (("tair", t), ("qa", t * 0 + 0.003),
+                      ("ucmp", t * 0 + 3.0), ("vcmp", t * 0 - 1.0),
+                      ("sol", t * 0 + 50.0), ("flo", t * 0 + 260.0)):
+        _write_rda8(tmp_path / f"{stem}_1997.r", val)
+    clim = np.ones((12, NY, NX))
+    _write_rda8(tmp_path / "prec_lanl_12.r", clim * 1.0e-7)
+    _write_rda8(tmp_path / "rhoa_ncar85-88_12.r", clim * 1.25)
+    cfg = _make_cfg(tmp_path, atm_data_type="ecmwf",
+                    precip_units="mm_per_sec")
+    grid = _grid()
+    prov = fd.EcmwfForcing(cfg, grid, jnp.float64)
+    assert prov.available
+    # noon day 10: exactly record 10 (mid-interval located)
+    f = prov(10.0, 43200.0, cal=_cal(yday=10.0, sec=43200.0))
+    np.testing.assert_allclose(float(f.Tair[0, 0]), t[9, 0, 0],
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(f.rhoa[0, 0]), 1.25, rtol=1e-12)
+    # midnight day 11: halfway between records 10 and 11
+    f2 = prov(11.0, 0.0, cal=_cal(yday=11.0, sec=0.0))
+    np.testing.assert_allclose(float(f2.Tair[0, 0]),
+                               0.5 * (t[9, 0, 0] + t[10, 0, 0]),
+                               rtol=1e-12)
+    assert float(f2.flw[0, 0]) == pytest.approx(260.0)
+
+
+def test_hadgem_monthly_nc(tmp_path):
+    """HadGEM monthly netCDF reader (``hadgem_data:3051-3297``):
+    dataset-provided rain/snow split and mid-month interpolation."""
+    from scipy.io import netcdf_file
+    os.makedirs(tmp_path / "MONTHLY", exist_ok=True)
+    vals = {"rainfall": 2.0e-8, "snowfall": 3.0e-8, "u_10": 4.0,
+            "v_10": -2.0, "SW_incoming": 80.0, "LW_incoming": 270.0,
+            "t_10": 265.0, "rho_10": 1.3, "q_10": 0.002}
+    for name, v in vals.items():
+        path = tmp_path / "MONTHLY" / f"{name}.1997.nc"
+        with netcdf_file(str(path), "w") as nc:
+            nc.createDimension("time", 12)
+            nc.createDimension("nj", NY)
+            nc.createDimension("ni", NX)
+            var = nc.createVariable(name, "d", ("time", "nj", "ni"))
+            data = np.ones((12, NY, NX)) * v
+            data *= (1.0 + 0.1 * np.arange(12))[:, None, None]
+            var[:] = data
+    cfg = _make_cfg(tmp_path, atm_data_type="hadgem")
+    grid = _grid()
+    prov = fd.HadgemForcing(cfg, grid, jnp.float64)
+    assert prov.available
+    # Jan 15 00:00 == exactly the January record (factor 1.0)
+    f = prov(15.0, 0.0, cal=_cal(yday=15.0, sec=0.0))
+    np.testing.assert_allclose(float(f.Tair[0, 0]), 265.0, rtol=1e-10)
+    np.testing.assert_allclose(float(f.frain[0, 0]), 2.0e-8, rtol=1e-10)
+    np.testing.assert_allclose(float(f.fsnow[0, 0]), 3.0e-8, rtol=1e-10)
+    np.testing.assert_allclose(float(f.flw[0, 0]), 270.0, rtol=1e-10)
+
+
+def test_rct_hourly_column(tmp_path):
+    """rct hourly Barrow dataset broadcast over the grid
+    (``rct_data:2066-2226``) incl. the Hyland-Wexler Qa derivation."""
+    from scipy.io import netcdf_file
+
+    def col_file(name, fields):
+        with netcdf_file(str(tmp_path / name), "w") as nc:
+            nc.createDimension("time", 48)
+            nc.createDimension("ni", 1)
+            for var, series in fields.items():
+                v = nc.createVariable(var, "d", ("time", "ni"))
+                v[:] = np.asarray(series)[:, None]
+
+    hours = np.arange(48)
+    col_file("hourlymet_brw1989_5yr.nc",
+             {"Tair": 260.0 + 0.1 * hours, "Uatm": 5.0 + 0 * hours,
+              "Vatm": 0.0 * hours})
+    col_file("hourlysolar_brw1989_5yr.nc", {"fsw": 10.0 + hours})
+    col_file("hourlymet_rh_5yr.nc", {"rh": 80.0 + 0 * hours})
+    cfg = _make_cfg(tmp_path, atm_data_type="rct")
+    grid = _grid()
+    prov = fd.RctForcing(cfg, grid, jnp.float64)
+    assert prov.available
+    cal = _cal(yday=1.0, sec=7200.0)
+    cal.istep = 3
+    f = prov(1.0, 7200.0, cal=cal)
+    np.testing.assert_allclose(float(f.Tair[3, 4]), 260.0 + 0.2,
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(f.uatm[0, 0]), 5.0)
+    # Qa positive and small; spatially uniform
+    qa = np.asarray(f.Qa)
+    assert 1e-5 < qa[0, 0] < 5e-3 and np.ptp(qa) == 0.0
+    total_sw = float(f.swvdr[0, 0] + f.swvdf[0, 0]
+                     + f.swidr[0, 0] + f.swidf[0, 0])
+    np.testing.assert_allclose(total_sw, 12.0, rtol=1e-6)

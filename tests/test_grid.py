@@ -68,3 +68,55 @@ def test_coriolis_sign(gx3_grid):
     south = np.asarray(g.fcor)[np.asarray(g.ulat) < -0.1]
     assert np.all(north > 0)
     assert np.all(south < 0)
+
+
+def test_panarctic_grid_loader(tmp_path):
+    """panarctic regional grid: single 8-record binary incl. in-file
+    land mask (``ice_grid.F90 panarctic_grid:848-967``)."""
+    import os
+
+    import numpy as np
+
+    from cice4_tpu.config import (Config, DomainConfig, DynamicsConfig,
+                                  GridConfig)
+    from cice4_tpu.grid import make_grid
+
+    ny, nx = 12, 10
+    lat = np.deg2rad(70.0 + 0.5 * np.arange(ny))[:, None] * np.ones((1, nx))
+    lon = np.deg2rad(10.0 * np.arange(nx))[None, :] * np.ones((ny, 1))
+    kmt = np.ones((ny, nx)); kmt[:2] = 0.0
+    htn = np.full((ny, nx), 25.0e5)   # cm
+    hte = np.full((ny, nx), 30.0e5)
+    ang = np.zeros((ny, nx))
+    recs = np.stack([kmt, lat, lon, htn, hte, htn, hte, ang])
+    path = str(tmp_path / "pips.grid")
+    np.asarray(recs, ">f8").tofile(path)
+
+    cfg = Config(
+        domain=DomainConfig(nx_global=nx, ny_global=ny,
+                            ew_boundary_type="open",
+                            ns_boundary_type="open"),
+        grid=GridConfig(grid_type="panarctic", grid_file=path),
+        dynamics=DynamicsConfig(ndte=5),
+    )
+    import jax.numpy as jnp
+    g = make_grid(cfg, dtype=jnp.float64)
+    assert g.ny == ny and g.nx == nx
+    assert float(g.hm[0, 0]) == 0.0 and float(g.hm[5, 5]) == 1.0
+    np.testing.assert_allclose(float(g.dxu[5, 5]), 25.0e3, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g.ulat), lat, atol=1e-12)
+    assert np.isfinite(np.asarray(g.tarea)).all()
+    assert (np.asarray(g.tarea) > 0).all()
+
+    # the regional grid steps end-to-end (thermo+dynamics, open BCs)
+    from cice4_tpu.forcing import default_forcing
+    from cice4_tpu.model import Model, ice_step
+    from cice4_tpu.state import init_state
+    import jax
+    model = Model.create(cfg)
+    state = init_state(cfg, grid=g, itd=model.itd, dtype=jnp.float64)
+    f = default_forcing(ny, nx, jnp.float64)
+    state2, fluxes = jax.jit(
+        lambda s: ice_step(model, s, g, f, 80.0, 0.0))(state)
+    assert np.isfinite(np.asarray(state2.aicen)).all()
+    assert float(jnp.sum(state2.aicen)) > 0.0

@@ -8,14 +8,21 @@ set_state_var:921-1195`) under the idealized seasonal forcing and
 asserts:
 
 * budget closure — the heat / fresh-water / salt conservation errors
-  of `runtime_diags:370-560` stay below the reference's tolerance
-  every diagnostic interval, for the whole month (this must hold for
-  ANY forcing — it is the reference's own runtime abort criterion);
-* hemispheric sanity bands — area/extent/volume/speeds stay within
-  wide physical bands transcribed from the reference log's January
-  trajectory (same season, same grid, different IC/forcing — see
-  PARITY.md for the side-by-side magnitudes);
-* no guard violations (conservation/ridging/ITD in-graph checks).
+  of `runtime_diags:370-560` close to f64 roundoff every diagnostic
+  interval for the whole month (measured |herr| <= 5e-10,
+  |werr|,|serr| <= 4e-13 — this must hold for ANY forcing);
+* Northern-hemisphere trajectory vs the reference log at istep
+  24/360/744: area and extent within the IC/forcing-explained band
+  (measured -11%..+4% of the reference; see PARITY.md for the full
+  side-by-side table), volume within the documented default-IC
+  thickness bias (x1.4-1.55), speeds/strength in the reference's
+  dynamic range;
+* Southern hemisphere: bounded sanity only — January is SH summer and
+  the default IC covers far more of the Southern Ocean than the
+  reference's spun-up restart, so SH magnitudes are IC-dominated
+  (documented in PARITY.md);
+* no guard violations (thermo/transport/ridging/ITD in-graph checks
+  abort the run via ConservationError if they fire).
 
 Set CICE4_MONTH_STEPS to shorten locally (e.g. 48 for smoke).
 """
@@ -28,27 +35,21 @@ import pytest
 
 NPT = int(os.environ.get("CICE4_MONTH_STEPS", "744"))
 
-# reference January gx3 trajectory magnitudes
-# (ice.log.Linux.LANL.coyote:193-775, istep 24..744)
-REF = dict(
-    area_n=(1.70e7, 1.74e7),      # km^2
-    extent_n=(1.74e7, 1.78e7),
-    volume_n=(2.28e13, 2.32e13),  # m^3
-    area_s=(5.9e6, 7.1e6),
-    volume_s=(1.08e13, 1.17e13),
-    rms_speed=(0.05, 0.14),       # m/s
-    max_strength=(30.0, 170.0),   # kN/m
-)
+# reference gx3 January trajectory (ice.log.Linux.LANL.coyote at
+# istep1 = 24 / 360 / 744; NH = "Arctic" column)
+REF = {
+    24: dict(area_n=1.52244e7, extent_n=1.54435e7, volume_n=1.90387e13,
+             rms_speed_n=0.05533, max_strength_n=113.18),
+    360: dict(area_n=1.64236e7, extent_n=1.67283e7, volume_n=2.10656e13,
+              rms_speed_n=0.08548, max_strength_n=133.91),
+    744: dict(area_n=1.73606e7, extent_n=1.76915e7, volume_n=2.31726e13,
+              rms_speed_n=0.05083, max_strength_n=163.12),
+}
 
-# sanity bands for THIS run (default IC + idealized forcing): one
-# order-of-magnitude envelope around the reference's January state
-BANDS = dict(
-    area_n=(4.0e6, 3.0e7),
-    extent_n=(4.0e6, 4.0e7),
-    volume_n=(4.0e12, 8.0e13),
-    area_s=(1.0e6, 3.0e7),
-    volume_s=(1.0e12, 8.0e13),
-)
+# allowed ratio vs the reference value (different IC + idealized
+# forcing; measured ratios in PARITY.md)
+RATIO = dict(area_n=(0.80, 1.10), extent_n=(0.90, 1.12),
+             volume_n=(1.20, 1.75))
 
 
 @pytest.mark.slow
@@ -60,28 +61,40 @@ def test_gx3_month_budget_and_trajectory():
 
     rows = run_month(npt=NPT, dtype=jnp.float64, log=lambda *_: None)
     assert rows, "no diagnostic intervals collected"
+    by_step = {r["istep"]: r for r in rows}
 
-    # budget closure every diag interval (reference aborts above
-    # ferrmax = 1e-3 W/m^2-equivalent; the normalized errors printed
-    # in the log are O(1e-13) in f64 — require the reference's
-    # runtime_diags tolerance)
+    # budget closure every diag interval: heat/water/salt errors at
+    # f64 roundoff (the reference prints these only in coupled builds;
+    # our diag closes exactly — see diagnostics.py fhatm notes)
     for d in rows:
         for hem in ("n", "s"):
-            assert abs(d[f"werr_{hem}"]) < 1e-7, (d["istep"], hem, d)
-            assert abs(d[f"herr_{hem}"]) < 1e-7, (d["istep"], hem, d)
-            assert abs(d[f"serr_{hem}"]) < 1e-7, (d["istep"], hem, d)
+            assert abs(d[f"werr_{hem}"]) < 1e-10, (d["istep"], hem)
+            assert abs(d[f"herr_{hem}"]) < 1e-7, (d["istep"], hem)
+            assert abs(d[f"serr_{hem}"]) < 1e-10, (d["istep"], hem)
 
-    # trajectory bands: every interval after spinup (first 2 days)
+    # NH trajectory vs the reference log at the three checkpoints
+    for istep, ref in REF.items():
+        if istep > NPT:
+            continue
+        d = by_step.get(istep)
+        assert d is not None, f"no diag row at istep {istep}"
+        for k, (lo, hi) in RATIO.items():
+            r = d[k] / ref[k]
+            assert lo < r < hi, (istep, k, d[k], ref[k], r)
+        # speeds/strength within the reference's dynamic range
+        assert 0.3 * ref["rms_speed_n"] < d["rms_speed_n"] \
+            < 2.0 * ref["rms_speed_n"], (istep, d["rms_speed_n"])
+        assert 0.25 * ref["max_strength_n"] < d["max_strength_n"] \
+            < 2.0 * ref["max_strength_n"], (istep, d["max_strength_n"])
+
+    # every interval: physical sanity for both hemispheres
     for d in rows[2:]:
-        assert BANDS["area_n"][0] < d["area_n"] < BANDS["area_n"][1], d
-        assert BANDS["volume_n"][0] < d["volume_n"] < BANDS["volume_n"][1], d
-        assert BANDS["area_s"][0] < d["area_s"] < BANDS["area_s"][1], d
-        assert BANDS["volume_s"][0] < d["volume_s"] < BANDS["volume_s"][1], d
-        assert d["extent_n"] >= d["area_n"] * 0.9
-        # speeds/strength physically bounded
-        assert 0.0 <= d["rms_speed_n"] < 1.0, d
-        assert 0.0 <= d["rms_speed_s"] < 1.0, d
-        assert 0.0 <= d["max_strength_n"] < 500.0, d
+        assert 1.2e7 < d["area_n"] < 2.0e7, d["istep"]
+        assert d["extent_n"] >= d["area_n"]
+        assert 1.0e7 < d["area_s"] < 2.2e7, d["istep"]   # IC-dominated
+        assert 3.0e13 < d["volume_s"] < 6.0e13, d["istep"]
+        assert 0.0 <= d["rms_speed_n"] < 0.5
+        assert 0.0 <= d["rms_speed_s"] < 0.5
 
     # all fields finite at the end
     last = rows[-1]

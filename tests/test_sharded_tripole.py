@@ -1,0 +1,88 @@
+"""Sharded tripole step: the ACCESS-OM configuration (cyclic EW +
+tripole NS fold) stepped on the 8-device CPU mesh vs 1 device.
+
+The tripole fold couples the top row across the x-axis of the mesh
+with index reversal and location/type-dependent sign rules
+(``mpi/ice_boundary.F90`` tripole sections) — the one boundary
+condition round 3 only ever exercised at the halo-unit level.  Here a
+FULL model step (thermo + EVP + remap + ridging, all of which shift
+fields through the fold) must be decomposition-invariant.
+
+Downscaled ACCESS-OM grid (72x60 tripole latlon, divisible by the
+2x4 mesh) so the step compiles in CI time; the BCs and physics are
+the production configuration's.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cice4_tpu.config import access_om_config
+from cice4_tpu.forcing import default_forcing
+from cice4_tpu.grid import make_grid
+from cice4_tpu.model import Model, ice_step
+from cice4_tpu.parallel.mesh import make_mesh, shard_pytree
+from cice4_tpu.state import init_state
+
+
+@pytest.fixture(scope="module")
+def tripole_setup():
+    cfg = access_om_config(nx=72, ny=60)
+    cfg = dataclasses.replace(
+        cfg, dynamics=dataclasses.replace(cfg.dynamics, ndte=20))
+    grid = make_grid(cfg, dtype=jnp.float64)
+    assert grid.bc.ns == "tripole"
+    model = Model.create(cfg)
+    state = init_state(cfg, grid, model.itd, dtype=jnp.float64)
+    f = default_forcing(grid.ny, grid.nx, jnp.float64)
+    # spatially varying wind so the fold actually transports momentum
+    x = jnp.arange(grid.nx, dtype=jnp.float64)[None, :]
+    y = jnp.arange(grid.ny, dtype=jnp.float64)[:, None]
+    uatm = 5.0 * jnp.sin(2 * jnp.pi * x / grid.nx) + 0.0 * y
+    vatm = 3.0 * jnp.cos(4 * jnp.pi * x / grid.nx) + 0.02 * y
+    f = f.replace(uatm=uatm, vatm=vatm,
+                  wind=jnp.sqrt(uatm**2 + vatm**2))
+    return cfg, grid, model, state, f
+
+
+def test_tripole_step_decomposition_invariant(tripole_setup):
+    cfg, grid, model, state, f = tripole_setup
+
+    @jax.jit
+    def step(s, g, fo):
+        return ice_step(model, s, g, fo, 80.0, 0.0)
+
+    ref, _flux = step(state, grid, f)
+    jax.block_until_ready(ref.aicen)
+
+    mesh = make_mesh(8)
+    out, _ = step(shard_pytree(state, mesh), shard_pytree(grid, mesh),
+                  shard_pytree(f, mesh))
+    jax.block_until_ready(out.aicen)
+
+    for name in ("aicen", "vicen", "vsnon", "eicen", "esnon",
+                 "uvel", "vvel", "tsfcn", "sst"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        assert np.isfinite(b).all(), name
+        scale = np.maximum(np.abs(a), 1.0)
+        err = np.max(np.abs(a - b) / scale)
+        assert err < 1e-11, (name, float(err))
+
+
+def test_tripole_fold_is_active(tripole_setup):
+    """Sanity: the top row actually participates (velocities near the
+    fold are nonzero after a step with cross-fold wind)."""
+    cfg, grid, model, state, f = tripole_setup
+
+    @jax.jit
+    def step(s):
+        return ice_step(model, s, grid, f, 80.0, 0.0)
+
+    out, _ = step(state)
+    top = np.abs(np.asarray(out.uvel[-2:])).max()
+    assert np.isfinite(top)
+    assert top > 0.0

@@ -27,6 +27,11 @@ if "--cpu" in sys.argv:
 
 import jax
 
+if "--cpu" in sys.argv:
+    # the axon TPU plugin registers itself regardless of JAX_PLATFORMS;
+    # the config update is what actually forces the CPU backend
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/cice4_tpu_xla"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -63,29 +68,12 @@ def run_month(npt=744, dtype=None, log=print, diagfreq=24):
     run = IceModelRun(cfg, dtype=dtype, log=capture)
     run.initialize()
 
-    # re-wire diag capture: step manually to collect structured rows
-    cal = run.calendar
-    for _ in range(npt):
-        diag_step = (cal.istep + 1) % diagfreq == 0
-        f = run.forcing_provider(cal.yday, cal.sec, cal=cal,
-                                 state=run.state)
-        if diag_step:
-            init_diag = run._initdiag(run.state)
-        run.state, fluxes = run._step(run.state, f,
-                                      jnp.asarray(cal.yday, dtype),
-                                      jnp.asarray(cal.sec, dtype))
-        if run._pending_guards:
-            from cice4_tpu.guards import raise_on_violation
-            raise_on_violation(run._pending_guards)
-        run._pending_guards = fluxes.pop("_guards", None)
-        cal.advance()
-        if diag_step:
-            from cice4_tpu.diagnostics import format_diags
-            d = run._diag(run.state, fluxes, f, init_diag)
-            d = {k: float(v) for k, v in d.items()}
-            d["istep"] = cal.istep
-            rows.append(d)
-            log(format_diags(cal.istep, d))
+    def on_diag(istep, d):
+        d = dict(d)
+        d["istep"] = istep
+        rows.append(d)
+
+    run.run(npt, on_diag=on_diag)
     return rows
 
 

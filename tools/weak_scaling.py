@@ -42,8 +42,8 @@ from cice4_tpu.config import Config, DomainConfig, DynamicsConfig, \
 from cice4_tpu.grid import make_grid
 from cice4_tpu.io.forcing_data import AnalyticForcing
 from cice4_tpu.model import Model, ice_step
-from cice4_tpu.parallel.mesh import init_distributed, make_mesh, \
-    shard_pytree
+from cice4_tpu.parallel.mesh import (init_distributed, make_mesh,
+                                     set_active_mesh, shard_pytree)
 from cice4_tpu.state import init_state
 
 BASE_NY, BASE_NX = 96, 128   # per-device tile
@@ -51,7 +51,7 @@ NDTE = 40
 NSTEPS = 4
 
 
-def time_n(n_devices):
+def time_n(n_devices, fast_path=True):
     mesh = make_mesh(n_devices)
     py, px = mesh.devices.shape
     cfg = Config(
@@ -70,6 +70,8 @@ def time_n(n_devices):
     state = shard_pytree(state, mesh)
     grid_s = shard_pytree(grid, mesh)
     forcing = shard_pytree(forcing, mesh)
+    # engage the k-halo sharded EVP subcycle (ops/evp_sharded.py)
+    set_active_mesh(mesh if (fast_path and n_devices > 1) else None)
 
     @jax.jit
     def step(state, grid, forcing, yday, sec):
@@ -83,6 +85,7 @@ def time_n(n_devices):
                     jnp.float32(0.0))
     jax.block_until_ready(s.aicen)
     dt = (time.time() - t0) / NSTEPS
+    set_active_mesh(None)
     cells = grid.nx * grid.ny
     return dt, cells
 
@@ -104,6 +107,15 @@ def main():
                          weak_scaling_efficiency=eff))
         print(f"{n} devices: {cells:8d} cells  {dt * 1e3:8.1f} ms/step  "
               f"{cells / dt:.3e} cell-steps/s  eff {eff:5.2f}")
+    # GSPMD-vs-fast-path comparison at the largest count
+    n = rows[-1]["devices"]
+    if n > 1:
+        dt_g, cells = time_n(n, fast_path=False)
+        rows.append(dict(devices=n, cells=cells, step_ms=dt_g * 1e3,
+                         cellsteps_per_s=cells / dt_g,
+                         mode="gspmd-per-subcycle-halos"))
+        print(f"{n} devices (GSPMD halos): {dt_g * 1e3:8.1f} ms/step  "
+              f"(k-halo fast path {rows[-2]['step_ms']:8.1f} ms)")
     print(json.dumps(rows))
 
 
