@@ -45,7 +45,8 @@ class IceComponent:
     """
 
     def __init__(self, cfg: Config, flavor: str = "om",
-                 dtype=jnp.float32, log=print):
+                 dtype=jnp.float32, log=print,
+                 gfdl_surface_flux: bool = False):
         if flavor not in ("om", "cm"):
             raise ValueError(f"unknown coupling flavor {flavor!r}")
         if flavor == "cm" and cfg.thermo.calc_Tsfc:
@@ -56,6 +57,9 @@ class IceComponent:
         self.cfg = cfg
         self.flavor = flavor
         self.dtype = dtype
+        # cpl_parameters.F90:54 — open-water fluxes from the GFDL
+        # Monin-Obukhov package (default .true. in the reference OM)
+        self.gfdl_surface_flux = gfdl_surface_flux
         self.log = log
         self.runner: IceModelRun | None = None
         self._boundary = None
@@ -78,7 +82,9 @@ class IceComponent:
         cal = self.runner.calendar
         f0 = self.runner.forcing_provider(cal.yday, cal.sec, cal=cal,
                                           state=self.runner.state)
-        self._boundary = coupling.CouplerBoundary(f0)
+        self._boundary = coupling.CouplerBoundary(
+            f0, tmask=self.runner.grid.tmask,
+            gfdl_surface_flux=self.gfdl_surface_flux)
         self._last_fluxes = None
         return self
 

@@ -88,3 +88,106 @@ def load_restart(path: str, template: State, dtype=None):
             tgt_dtype = np.asarray(v).dtype
             kwargs[f.name] = jnp.asarray(src.astype(tgt_dtype))
     return State(**kwargs), header
+
+
+# ---------------------------------------------------------------------------
+# sharded (parallel) checkpointing — the multi-host analogue of
+# gather_global-free I/O (SURVEY §2j "parallel I/O": the reference has
+# none; it gathers every record to the master rank)
+# ---------------------------------------------------------------------------
+
+
+def dump_restart_sharded(state: State, directory: str, istep: int,
+                         time: float, pointer_file: str | None = None):
+    """Write each process's ADDRESSABLE shards only, plus a JSON
+    manifest describing the global layout.
+
+    On one host this degenerates to the serial dump split per local
+    device; on a multi-host mesh every process writes its own
+    ``shards_p<proc>.npz`` concurrently — no cross-host gather, no
+    master-rank bottleneck (the reference funnels every record through
+    `gather_global` + rank-0 writes, ``ice_read_write.F90:357-451``).
+    Reassembly needs only the manifest + all shard files.
+    """
+    os.makedirs(directory, exist_ok=True)
+    proc = jax.process_index()
+    flat = _flatten(state)
+    shards_out = {}
+    manifest = {"format": FORMAT_VERSION, "istep": int(istep),
+                "time": float(time),
+                "nprocs": jax.process_count(), "fields": {}}
+    for name, arr in flat.items():
+        if arr is None:
+            continue
+        entries = []
+        if hasattr(arr, "addressable_shards"):
+            for sh in arr.addressable_shards:
+                idx = sh.index  # tuple of slices into the global array
+                start = [0 if s.start is None else int(s.start)
+                         for s in idx]
+                shape = list(np.asarray(sh.data).shape)
+                key = f"{name}__p{proc}_d{len(entries)}"
+                shards_out[key] = np.asarray(sh.data)
+                entries.append({"key": key, "start": start,
+                                "shape": shape})
+        else:
+            key = f"{name}__p{proc}_d0"
+            shards_out[key] = np.asarray(arr)
+            entries.append({"key": key,
+                            "start": [0] * np.asarray(arr).ndim,
+                            "shape": list(np.asarray(arr).shape)})
+        manifest["fields"][name] = {
+            "global_shape": list(np.shape(arr)),
+            "dtype": str(np.asarray(shards_out[entries[0]["key"]]).dtype),
+            "shards": entries,
+        }
+    shard_path = os.path.join(directory, f"shards_p{proc}.npz")
+    np.savez_compressed(shard_path, **shards_out)
+    if proc == 0:
+        with open(os.path.join(directory, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+        if pointer_file:
+            with open(pointer_file, "w") as fh:
+                fh.write(directory + "\n")
+    return directory
+
+
+def load_restart_sharded(directory: str, template: State, dtype=None):
+    """Reassemble a sharded dump: read the manifest + every shard file
+    and place each block at its recorded global offset."""
+    with open(os.path.join(directory, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    blocks: dict = {}
+    import glob as _glob
+    for p in sorted(_glob.glob(os.path.join(directory, "shards_p*.npz"))):
+        with np.load(p) as z:
+            for k in z.files:
+                blocks[k] = z[k]
+    flat = {}
+    for name, info in manifest["fields"].items():
+        out = np.zeros(info["global_shape"], dtype=info["dtype"])
+        seen = np.zeros(info["global_shape"], dtype=bool)
+        for e in info["shards"]:
+            if e["key"] not in blocks:
+                raise FileNotFoundError(
+                    f"missing shard {e['key']} for field {name}")
+            sl = tuple(slice(s, s + n)
+                       for s, n in zip(e["start"], e["shape"]))
+            out[sl] = blocks[e["key"]]
+            seen[sl] = True
+        if not seen.all():
+            raise ValueError(f"incomplete shard coverage for {name}")
+        flat[name] = out
+
+    kwargs = {}
+    for f in dataclasses.fields(template):
+        v = getattr(template, f.name)
+        if isinstance(v, dict):
+            kwargs[f.name] = {
+                k: jnp.asarray(flat[f"{f.name}.{k}"].astype(
+                    np.asarray(arr).dtype))
+                for k, arr in v.items()}
+        else:
+            kwargs[f.name] = jnp.asarray(
+                flat[f.name].astype(np.asarray(v).dtype))
+    return State(**kwargs), manifest

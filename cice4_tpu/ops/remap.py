@@ -912,13 +912,16 @@ def _use_pallas_remap(grid, dtype) -> bool:
     if grid.bc.ew == "cyclic" and 0 < nxp - grid.nx < 2 * _HALO:
         return False  # no room for the cyclic wrap halo in the x pad
     # K2 streams tracer CHUNKS (remap_pallas_divergence picks the
-    # chunk size to bound its VMEM live set), so eligibility is set by
-    # the un-chunkable K0 working set: the 90 GA scatter-accumulator
-    # planes + ~30 planes of triangle-geometry temporaries, all VMEM
-    # resident (fits gx1's padded 384x384; 0.25-deg 1440x1080 falls
-    # back to the jnp path until K0 is spatially blocked).
-    plane = grid.ny * nxp * jnp.dtype(dtype).itemsize
-    return 120 * plane < 96 * 1024 * 1024
+    # chunk size to bound its VMEM live set) and compiles/runs
+    # correctly up to gx1 (tools/check_remap_tpu.py).  Measured on
+    # v5e (round 4): the kernel wins modestly at gx3-scale grids
+    # (25.7 vs 28.2 ms harness time) but LOSES at gx1 (10.5 vs 9.4 ms
+    # in-step) — the tracer chunking re-streams the 90 GA planes per
+    # chunk and the unified donor polynomial triples the type-1 row
+    # multiplies.  Enable where it measures faster; larger grids use
+    # the XLA path (whose rolls fuse well at that size).
+    plane_cells = grid.ny * nxp
+    return plane_cells <= 48 * 1024
 
 
 def transport_remap(state: State, grid: Grid, dt,

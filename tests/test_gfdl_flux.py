@@ -150,3 +150,37 @@ def test_ncar_ocean_fluxes_magnitudes():
         jnp.full((n,), 0.004), jnp.full((n,), 10.0), mask)
     assert 8e-4 < float(cd[0]) < 2e-3
     assert 0.2 < float(us[0]) < 0.5
+
+
+def test_gaussian_runoff_regrid():
+    """Masked conserving gaussian filter (gaussian_filter.F90)."""
+    from cice4_tpu.ops.runoff_regrid import (convolve, gaussian_kernel,
+                                             regrid_runoff)
+    k = np.asarray(gaussian_kernel(1.5))
+    assert k.shape == (13, 13)  # radius = int(4*1.5+0.5) = 6
+    np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-12)
+    assert k[6, 6] == k.max()
+
+    ny, nx = 24, 32
+    rng = np.random.default_rng(0)
+    mask_np = (rng.random((ny, nx)) > 0.3).astype(float)
+    mask_np[12, 16] = 1.0          # source cell must be active
+    mask = jnp.asarray(mask_np)
+    field = jnp.zeros((ny, nx)).at[12, 16].set(100.0) * mask
+
+    out = convolve(field, gaussian_kernel(1.5), mask)
+    out_np = np.asarray(out)
+    # masked points unchanged
+    np.testing.assert_array_equal(out_np[np.asarray(mask) == 0],
+                                  np.asarray(field)[np.asarray(mask) == 0])
+    # uniform field stays uniform on the active area (weight
+    # redistribution property)
+    uni = convolve(mask * 3.0, gaussian_kernel(1.5), mask)
+    np.testing.assert_allclose(np.asarray(uni)[np.asarray(mask) > 0],
+                               3.0, rtol=1e-6)
+    # smoothing spreads the point source
+    assert out_np.max() < 100.0
+    assert (out_np > 0.01).sum() > 10
+    # wrapper runs
+    r = regrid_runoff(field, mask)
+    assert np.isfinite(np.asarray(r)).all()
