@@ -466,11 +466,19 @@ def remap_pallas_divergence(dx, dy, afac, mm_ext, tm_ext, hm, meta,
 
     # tracer chunk size: bound K2's VMEM live set (GA stream double-
     # buffered + resident mass/parents + chunk-sized tracer block,
-    # accumulators and product temporaries ~26 planes per chunk row)
+    # accumulators and product temporaries ~26 planes per chunk row).
+    # CICE4_REMAP_CHUNK overrides for empirical tuning.
+    import os as _os
     plane = ny * nx * jnp.dtype(dtype).itemsize
     chunk = T
-    while chunk > 1 and (60 + 26 * chunk) * plane > 96 * 1024 * 1024:
-        chunk -= 1
+    env_chunk = _os.environ.get("CICE4_REMAP_CHUNK")
+    if env_chunk:
+        chunk = max(1, min(T, int(env_chunk)))
+    else:
+        # measured on v5e gx1: chunk 5 (2 GA streams) edges chunk 3
+        # (39.8 vs 40.9 ms); chunk 9 (single stream) RESOURCE_EXHAUSTs
+        while chunk > 1 and (60 + 26 * chunk) * plane > 115 * 1024 * 1024:
+            chunk -= 1
     nchunks = -(-T // chunk)
     Tp = nchunks * chunk
     if Tp != T:
