@@ -892,6 +892,78 @@ def _geom_accumulators(afac, dx, dy, order, sh, ea_e=None, ea_n=None):
     return GA
 
 
+def _flux_divergence_ga(GSH, mc, mx, my, tc, tx, ty, meta, sh):
+    """GA-factored flux divergence for one category.
+
+    ``div(c) = Σ_off S_off( Σ_k S_-off(GA_k[off]) · U_k )(c)`` where
+    GA are the category-INDEPENDENT geometric divergence accumulators
+    (`_geom_accumulators`) and U_k the monomial coefficients of the
+    donor-cell product polynomial — the same reassociation the Pallas
+    K2 kernel uses (`remap_pallas._contract_kernel`), expressed in
+    XLA.  Vs `_flux_divergence` this removes the per-category
+    mass-moment contraction and the 27 shifted tracer stacks: the
+    back-shifted GA planes in `GSH` are computed once per step for all
+    categories, and only the T+1 result planes are shifted per offset.
+    """
+    T = len(meta)
+    n1 = _n_type1(meta)
+    par2 = [meta[k][2] for k in range(n1, T)]
+    c1_, x1_, y1_ = tc[:n1], tx[:n1], ty[:n1]
+    if par2:
+        pick = lambda s: jnp.stack([s[p] for p in par2])  # noqa: E731
+        pc, px_, py_ = pick(tc), pick(tx), pick(ty)
+        c2, x2, y2 = tc[n1:], tx[n1:], ty[n1:]
+        mpc, mpx, mpy = mc * pc, mc * px_, mc * py_
+        xpc, xpx, xpy = mx * pc, mx * px_, mx * py_
+        ypc, ypx, ypy = my * pc, my * px_, my * py_
+
+    div = 0.0
+    divt = 0.0
+    for off in ALL_OFFSETS:
+        g0, g1, g2, g3, g4, g5, g6, g7, g8, g9 = GSH[off]
+        p_mass = g0 * mc + g1 * mx + g2 * my
+        div = div + _shift_by_jnp(sh, p_mass, off)
+        if not T:
+            continue
+        p1 = (g0 * (mc * c1_) + g1 * (mc * x1_ + mx * c1_)
+              + g2 * (mc * y1_ + my * c1_) + g3 * (mx * x1_)
+              + g4 * (mx * y1_ + my * x1_) + g5 * (my * y1_))
+        if par2:
+            p2 = (g0 * (mpc * c2)
+                  + g1 * (xpc * c2 + mpx * c2 + mpc * x2)
+                  + g2 * (ypc * c2 + mpy * c2 + mpc * y2)
+                  + g3 * (xpx * c2 + xpc * x2 + mpx * x2)
+                  + g4 * (xpy * c2 + ypx * c2 + xpc * y2
+                          + ypc * x2 + mpx * y2 + mpy * x2)
+                  + g5 * (ypy * c2 + ypc * y2 + mpy * y2)
+                  + g6 * (xpx * x2)
+                  + g7 * (xpx * y2 + xpy * x2 + ypx * x2)
+                  + g8 * (xpy * y2 + ypx * y2 + ypy * x2)
+                  + g9 * (ypy * y2))
+            p = jnp.concatenate([p1, p2], axis=0)
+        else:
+            p = p1
+        divt = divt + _shift_by_jnp(sh, p, off)
+    if not T:
+        divt = jnp.zeros((0,) + mc.shape, mc.dtype)
+    return div, divt
+
+
+def _shift_by_jnp(sh, f, off):
+    """Composite masked shift by offset (di, dj), x then y — the jnp
+    twin of `remap_pallas._shift_by`."""
+    di, dj = off
+    if di == 1:
+        f = sh.e(f)
+    elif di == -1:
+        f = sh.w(f)
+    if dj == 1:
+        f = sh.n(f)
+    elif dj == -1:
+        f = sh.s(f)
+    return f
+
+
 def _use_pallas_remap(grid, dtype) -> bool:
     """Fused-kernel eligibility (mirrors `evp._use_pallas`): single TPU
     device, non-tripole boundaries, working set within VMEM."""
@@ -1006,23 +1078,51 @@ def transport_remap(state: State, grid: Grid, dt,
         mm_new, tm_new, (mm_mid, mt_mid) = upd
     else:
         # category-independent geometric moment planes, computed once
-        G_e = _geom_moments("east", afac, dx, dy, integral_order, sh, ea_e)
-        G_n = _geom_moments("north", afac, dx, dy, integral_order, sh, ea_n)
-
-        # advect open water (mass only); feeds ridging
+        import os as _os
+        use_ga = bool(_os.environ.get("CICE4_REMAP_GA"))
         empty = jnp.zeros((0,) + aice0.shape, aice0.dtype)
-        mc0, mx0, my0, _tc, _tx, _ty = _construct(aice0, grid.hm, empty,
-                                                  [], sh)
-        div0, _ = _flux_divergence(G_e, G_n, mc0, mx0, my0,
-                                   empty, empty, empty, [], sh)
+        if use_ga:
+            # GA-factored contraction: category-independent geometry
+            # accumulators, back-shifted once for all categories
+            GA = _geom_accumulators(afac, dx, dy, integral_order, sh,
+                                    ea_e, ea_n)
+            zero = jnp.zeros_like(afac)
+            GSH = {off: [_shift_by_jnp(sh, GA[off][k] + zero,
+                                       (-off[0], -off[1]))
+                         for k in range(10)]
+                   for off in ALL_OFFSETS}
 
-        out = jax.vmap(
-            lambda mmn, tmn: _remap_category(mmn, tmn, grid.hm,
-                                             grid.tmask, grid.tarear,
-                                             G_e, G_n, meta, sh,
-                                             want_mid=True)
-        )(state.aicen, tm)
-        mm_new, tm_new, (mm_mid, mt_mid) = out
+            def _cat_ga(mmn, tmn):
+                mcn, mxn, myn, tcn, txn, tyn = _construct(
+                    mmn, grid.hm, tmn, meta, sh)
+                dv, dvt = _flux_divergence_ga(GSH, mcn, mxn, myn,
+                                              tcn, txn, tyn, meta, sh)
+                return _update_category(mmn, tmn, dv, dvt, grid.tmask,
+                                        grid.tarear, meta)
+
+            mc0, mx0, my0, *_ = _construct(aice0, grid.hm, empty, [], sh)
+            div0, _ = _flux_divergence_ga(GSH, mc0, mx0, my0,
+                                          empty, empty, empty, [], sh)
+            mm_new, tm_new, (mm_mid, mt_mid) = jax.vmap(_cat_ga)(
+                state.aicen, tm)
+        else:
+            G_e = _geom_moments("east", afac, dx, dy, integral_order,
+                                sh, ea_e)
+            G_n = _geom_moments("north", afac, dx, dy, integral_order,
+                                sh, ea_n)
+
+            # advect open water (mass only); feeds ridging
+            mc0, mx0, my0, _tc, _tx, _ty = _construct(
+                aice0, grid.hm, empty, [], sh)
+            div0, _ = _flux_divergence(G_e, G_n, mc0, mx0, my0,
+                                       empty, empty, empty, [], sh)
+
+            out = jax.vmap(
+                lambda mmn, tmn: _remap_category(
+                    mmn, tmn, grid.hm, grid.tmask, grid.tarear,
+                    G_e, G_n, meta, sh, want_mid=True)
+            )(state.aicen, tm)
+            mm_new, tm_new, (mm_mid, mt_mid) = out
 
     aice0_mid = aice0 - div0 * grid.tarear
     aice0_new = jnp.where(grid.tmask, jnp.maximum(aice0_mid, 0.0), 0.0)
