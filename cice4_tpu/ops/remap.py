@@ -983,17 +983,14 @@ def _use_pallas_remap(grid, dtype) -> bool:
     nxp = pad_nx(grid.nx)
     if grid.bc.ew == "cyclic" and 0 < nxp - grid.nx < 2 * _HALO:
         return False  # no room for the cyclic wrap halo in the x pad
-    # K2 streams tracer CHUNKS (remap_pallas_divergence picks the
-    # chunk size to bound its VMEM live set) and compiles/runs
-    # correctly up to gx1 (tools/check_remap_tpu.py).  Measured on
-    # v5e (round 4): the kernel wins modestly at gx3-scale grids
-    # (25.7 vs 28.2 ms harness time) but LOSES at gx1 (10.5 vs 9.4 ms
-    # in-step) — the tracer chunking re-streams the 90 GA planes per
-    # chunk and the unified donor polynomial triples the type-1 row
-    # multiplies.  Enable where it measures faster; larger grids use
-    # the XLA path (whose rolls fuse well at that size).
-    plane_cells = grid.ny * nxp
-    return plane_cells <= 48 * 1024
+    # The kernel compiles and matches the XLA path on the real chip up
+    # to gx1 (tools/check_remap_tpu.py), but the GA-factored XLA
+    # contraction (the round-4 default) now beats it everywhere
+    # measured: gx3 25.4 vs 27.3 ms, gx1 29.9 vs 39.8 ms.  Keep the
+    # kernel opt-in (CICE4_FORCE_PALLAS_REMAP=1) as the substrate for
+    # the next round's VMEM-resident fusion work (type-1 formula
+    # split, single GA stream).
+    return bool(os.environ.get("CICE4_FORCE_PALLAS_REMAP"))
 
 
 def transport_remap(state: State, grid: Grid, dt,
