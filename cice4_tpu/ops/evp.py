@@ -306,9 +306,19 @@ def _use_pallas(dyn: DynamicsConfig, grid: Grid) -> bool:
     supports cyclic/open/closed boundaries; tripole folds and sharded
     (multi-device) execution fall back to the jnp path, whose global
     rolls GSPMD turns into ICI collective-permutes.
+
+    OPT-IN since round 4 (CICE4_FORCE_PALLAS_EVP=1): ABAB full-model
+    benches on v5e gx1 measure the XLA subcycle loop FASTER than the
+    kernel (278x vs 238-244x with the GA remap default) — XLA fuses
+    the fori_loop body well at this size, and the kernel's whole-grid
+    VMEM residency pays layout/packing overheads.  The kernel remains
+    correct and tested; it is the substrate for the blocked multi-grid
+    variant that 1440x1080 will need.
     """
     import os
     if not dyn.use_pallas or os.environ.get("CICE4_NO_PALLAS"):
+        return False
+    if not os.environ.get("CICE4_FORCE_PALLAS_EVP"):
         return False
     if grid.bc.ns in ("tripole", "tripoleT"):
         return False
