@@ -1093,15 +1093,24 @@ def transport_remap(state: State, grid: Grid, dt,
                          for k in range(10)]
                    for off in ALL_OFFSETS}
 
+            # streaming reconstruction (`remap_pallas._construct_vmem`
+            # with the jnp shift provider): same van-Leer limiter
+            # values, but neighbor planes are folded on demand instead
+            # of materializing the 9-offset tables of the T-deep
+            # stacks — the same reassociation trick as the GA
+            # contraction, applied to `_construct`
+            from cice4_tpu.ops.remap_pallas import _construct_vmem
+
             def _cat_ga(mmn, tmn):
-                mcn, mxn, myn, tcn, txn, tyn = _construct(
-                    mmn, grid.hm, tmn, meta, sh)
+                mcn, mxn, myn, tcn, txn, tyn = _construct_vmem(
+                    mmn, grid.hm, tmn, list(meta), sh)
                 dv, dvt = _flux_divergence_ga(GSH, mcn, mxn, myn,
                                               tcn, txn, tyn, meta, sh)
                 return _update_category(mmn, tmn, dv, dvt, grid.tmask,
                                         grid.tarear, meta)
 
-            mc0, mx0, my0, *_ = _construct(aice0, grid.hm, empty, [], sh)
+            mc0, mx0, my0, *_ = _construct_vmem(aice0, grid.hm, empty,
+                                                [], sh)
             div0, _ = _flux_divergence_ga(GSH, mc0, mx0, my0,
                                           empty, empty, empty, [], sh)
             mm_new, tm_new, (mm_mid, mt_mid) = jax.vmap(_cat_ga)(
