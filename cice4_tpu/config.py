@@ -61,6 +61,9 @@ class DynamicsConfig:
     kdyn: int = 1                 # 0 = off, 1 = EVP
     ndte: int = 120               # EVP subcycles per dynamics step
     evp_damping: bool = False
+    # only the elliptical yield curve is implemented, as in the
+    # reference (``ice_dyn_evp.F90:441-533`` aborts on anything else);
+    # validated in __post_init__ rather than silently ignored
     yield_curve: str = "ellipse"
     ecc: float = 4.0              # yield-curve axis ratio squared (e^2)
     eyc: float = 0.36             # elastic damping timescale coefficient
@@ -80,6 +83,12 @@ class DynamicsConfig:
     # Pallas kernel with the working set resident in VMEM (single-chip,
     # non-tripole only; jnp fallback otherwise)
     use_pallas: bool = True
+
+    def __post_init__(self):
+        if self.yield_curve != "ellipse":
+            raise ValueError(
+                f"yield_curve={self.yield_curve!r}: only 'ellipse' is "
+                "implemented (ice_dyn_evp.F90 init_evp)")
 
 
 @dataclass(frozen=True)

@@ -105,12 +105,17 @@ def into_ocn(fluxes: dict, state, forcing: Forcing,
     ow = 1.0 - aice
     zero = jnp.zeros_like(aice)
     if gfdl is not None:
-        # gfdl dict fields are already sign-flipped for the ocean
-        fsens_ocn = -gfdl["sh"]       # back to atmosphere convention
-        flat_ocn = -gfdl["lh"]
-        flwout_ocn = -gfdl["lwo"]
-        strairx_ocn = -gfdl["taox"]
-        strairy_ocn = -gfdl["taoy"]
+        # gfdl dict fields are already in the convention the merge
+        # expects: the reference's gfdl_ocean_fluxes overwrites
+        # fsens_ocn/... with the flipped values (sh=-flux_t, ...) and
+        # get_i2o_fluxes applies the same -X*(1-aice) merge to them
+        # (cpl_forcing_handler.F90:925-1056, :689-780) — no extra
+        # negation here.
+        fsens_ocn = gfdl["sh"]
+        flat_ocn = gfdl["lh"]
+        flwout_ocn = gfdl["lwo"]
+        strairx_ocn = gfdl["taox"]
+        strairy_ocn = gfdl["taoy"]
     else:
         fsens_ocn = fluxes.get("fsens_ocn", zero)
         flat_ocn = fluxes.get("flat_ocn", zero)
@@ -137,7 +142,11 @@ def into_ocn(fluxes: dict, state, forcing: Forcing,
         "lwflx_io": (flw + flwout_ocn) * ow,
         "runof_io": getattr(forcing, "runof", None)
         if getattr(forcing, "runof", None) is not None else zero,
-        "press_io": getattr(forcing, "press", None)
+        # 12) pressure anomaly: the reference sends
+        # tiopress = press - 1.0e5 (cpl_forcing_handler.F90 get_i2o
+        # pressure block), not the raw surface pressure — a MOM-style
+        # consumer expects the anomaly.
+        "press_io": (getattr(forcing, "press") - 1.0e5)
         if getattr(forcing, "press", None) is not None else zero,
         "aice_io": aice,
         "melt_io": fluxes["fresh"],
@@ -192,3 +201,22 @@ class CouplerBoundary:
 
     def send_atm(self, fluxes, state):
         return into_atm(fluxes, state)
+
+    # -- restart persistence of the lagged friction velocity ----------
+    # The reference saves u_star0 to its restart (cpl_forcing_handler
+    # u_star0 read/write blocks) so the first coupling interval after a
+    # resume uses the lagged value, not the 0.1 m/s cold-start default.
+    def dump(self, path: str):
+        """Write the coupler-boundary restart sidecar (u_star)."""
+        import numpy as np
+        u_star = (np.asarray(self.u_star) if self.u_star is not None
+                  else np.zeros(0))
+        np.savez_compressed(path, u_star=u_star)
+        return path
+
+    def load(self, path: str):
+        """Restore the lagged u_star written by :meth:`dump`."""
+        import numpy as np
+        with np.load(path) as z:
+            u_star = z["u_star"]
+        self.u_star = jnp.asarray(u_star) if u_star.size else None

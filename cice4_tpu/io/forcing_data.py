@@ -205,16 +205,28 @@ class _FileDataset:
         c1, c2 = interp_coeff(recnum, recslot, 86400.0, 1, cal.time,
                               float(cal.days_per_year))
         if first_half:
+            # only r1 can cross into the PREVIOUS year; r2 = ixx is
+            # always a current-year record (read_data reads n3=ixx
+            # from the current file)
             r1, r2 = ixm, ixx
             y1 = fyear - 1 if (ixx == 1 and fyear > self.fyear_init) \
                 else fyear
             if ixx == 1 and fyear == self.fyear_init:
                 r1 = ixx      # persistence at cycle start
+            y2 = fyear
         else:
+            # only r2 can cross into the NEXT year; at the end of
+            # fyear_final the reference persists the last record
+            # (n4=ixx) instead of wrapping to Jan 1 of the same year
             r1, r2 = ixx, ixp
             y1 = fyear
-        y2 = fyear + 1 if (r2 < r1 and fyear < self.fyear_final) \
-            else fyear
+            if r2 < r1:  # wrapped past Dec 31
+                if fyear < self.fyear_final:
+                    y2 = fyear + 1
+                else:
+                    y2, r2 = fyear, ixx   # persistence at cycle end
+            else:
+                y2 = fyear
         a = self.reader.read(self._path(pathfn, y1), r1)
         b = self.reader.read(self._path(pathfn, y2), r2)
         return c1 * a + c2 * b

@@ -143,9 +143,18 @@ def dump_restart_sharded(state: State, directory: str, istep: int,
         }
     shard_path = os.path.join(directory, f"shards_p{proc}.npz")
     np.savez_compressed(shard_path, **shards_out)
+    # Every process records ITS OWN shard entries (addressable_shards
+    # only covers local devices) — the loader merges the per-process
+    # manifests, so no cross-host gather is ever needed.
+    with open(os.path.join(directory, f"manifest_p{proc}.json"), "w") as fh:
+        json.dump(manifest, fh)
     if proc == 0:
+        header = {k: v for k, v in manifest.items() if k != "fields"}
+        header["fields"] = {
+            name: {k: v for k, v in info.items() if k != "shards"}
+            for name, info in manifest["fields"].items()}
         with open(os.path.join(directory, "manifest.json"), "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(header, fh)
         if pointer_file:
             with open(pointer_file, "w") as fh:
                 fh.write(directory + "\n")
@@ -157,8 +166,24 @@ def load_restart_sharded(directory: str, template: State, dtype=None):
     and place each block at its recorded global offset."""
     with open(os.path.join(directory, "manifest.json")) as fh:
         manifest = json.load(fh)
-    blocks: dict = {}
     import glob as _glob
+    # merge the per-process shard entries (each process only knows its
+    # addressable shards at dump time)
+    per_proc = sorted(_glob.glob(os.path.join(directory,
+                                              "manifest_p*.json")))
+    if len(per_proc) < int(manifest.get("nprocs", 1)):
+        raise FileNotFoundError(
+            f"found {len(per_proc)} per-process manifests, expected "
+            f"{manifest.get('nprocs')}")
+    merged: dict = {name: dict(info, shards=[])
+                    for name, info in manifest["fields"].items()}
+    for p in per_proc:
+        with open(p) as fh:
+            m = json.load(fh)
+        for name, info in m["fields"].items():
+            merged[name]["shards"].extend(info["shards"])
+    manifest = dict(manifest, fields=merged)
+    blocks: dict = {}
     for p in sorted(_glob.glob(os.path.join(directory, "shards_p*.npz"))):
         with np.load(p) as z:
             for k in z.files:

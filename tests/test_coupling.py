@@ -269,3 +269,66 @@ def test_om_component_gfdl_surface_flux(tmp_path):
     # second interval reuses the carried u_star without error
     export2 = comp.run({"a2i": a2i, "o2i": o2i}, n_steps=1)
     assert np.isfinite(np.asarray(export2["i2o"]["strsu_io"])).all()
+
+
+def test_into_ocn_gfdl_signs():
+    """Sign conventions of the GFDL open-water export (the advisor's
+    round-4 finding): along-wind stress must be exported POSITIVE
+    (into the ocean, same direction as the wind), sensible heat from
+    warm air over cold ocean must be exported NEGATIVE (= heat INTO
+    the ocean, shflx_io positive-out convention), and net LW must be
+    flw - sigma*T^4, not flw + sigma*T^4
+    (``cpl_forcing_handler.F90 gfdl_ocean_fluxes:925-1056`` followed by
+    the ``get_i2o_fluxes:689-780`` merge)."""
+    from types import SimpleNamespace
+
+    from cice4_tpu.coupling import gfdl_open_water_fluxes, into_ocn
+
+    ny, nx = 4, 6
+    z = jnp.zeros((ny, nx))
+    sst = z + 1.0                       # cold ocean, 1 C
+    state = SimpleNamespace(
+        sst=sst, aicen=jnp.zeros((1, ny, nx)),
+        strocnxT=z, strocnyT=z)
+    forcing = SimpleNamespace(
+        Tair=z + 288.0, Qa=z + 8e-3,     # warm moist air
+        uatm=z + 8.0, vatm=z,            # +x wind over resting ocean
+        uocn=z, vocn=z, frain=z, fsnow=z,
+        flw=z + 300.0, press=z + 1.013e5, runof=None)
+    tmask = jnp.ones((ny, nx), bool)
+    gfdl = gfdl_open_water_fluxes(state, forcing, tmask)
+    fluxes = {"aice": z, "fsalt": z, "fhocn": z, "fswthru": z,
+              "fresh": z}
+    i2o = into_ocn(fluxes, state, forcing, gfdl=gfdl)
+
+    strsu = np.asarray(i2o["strsu_io"])
+    shflx = np.asarray(i2o["shflx_io"])
+    lwflx = np.asarray(i2o["lwflx_io"])
+    # along-wind surface stress: positive, O(0.01-0.5 N/m^2)
+    assert (strsu > 0.0).all(), strsu.min()
+    assert strsu.max() < 1.0
+    # warm air over cold ocean: downward sensible heat = heat INTO the
+    # ocean = negative in the positive-out convention
+    assert (shflx < 0.0).all(), shflx.max()
+    # net LW into ocean = flw - sigma*Ts^4 (~300 - 311 < 0 here), and
+    # certainly NOT flw + sigma*Ts^4 (~ +611)
+    assert (lwflx < 50.0).all(), lwflx.max()
+    assert (lwflx > -100.0).all()
+    # pressure anomaly, not raw pressure (get_i2o tiopress)
+    press = np.asarray(i2o["press_io"])
+    assert np.allclose(press, 1300.0)
+
+
+def test_coupler_boundary_u_star_restart(tmp_path):
+    """u_star survives a dump/load round trip (the reference saves
+    u_star0 in its restart so resumed runs keep the lagged roughness
+    input)."""
+    from cice4_tpu.coupling import CouplerBoundary
+
+    b = CouplerBoundary.__new__(CouplerBoundary)
+    b.u_star = jnp.full((3, 4), 0.23)
+    path = str(tmp_path / "ustar.npz")
+    b.dump(path)
+    b2 = CouplerBoundary.__new__(CouplerBoundary)
+    b2.load(path)
+    assert np.allclose(np.asarray(b2.u_star), 0.23)

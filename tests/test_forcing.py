@@ -373,3 +373,39 @@ def test_rct_hourly_column(tmp_path):
     total_sw = float(f.swvdr[0, 0] + f.swvdf[0, 0]
                      + f.swidr[0, 0] + f.swidf[0, 0])
     np.testing.assert_allclose(total_sw, 12.0, rtol=1e-6)
+
+
+def test_daily_year_boundary_bracketing(tmp_path):
+    """Year-crossing rules for daily records (advisor round-4 finding;
+    reference ``read_data:869-1021``): on day 1 the SECOND bracketing
+    record is always the current year's record 1 (not next year's),
+    and at the end of fyear_final the last record persists instead of
+    wrapping to Jan 1 of the same year."""
+    nrec = 365
+    for year, base in ((1997, 1000.0), (1998, 2000.0)):
+        vals = (base + np.arange(1, nrec + 1, dtype=np.float64)
+                )[:, None, None] * np.ones((1, NY, NX))
+        _write_rda8(tmp_path / f"v_{year}.r", vals)
+    cfg = _make_cfg(tmp_path, fyear_init=1997, ycycle=2)
+    grid = _grid()
+    ds = fd._FileDataset(cfg, grid)
+    pathfn = lambda y: str(tmp_path / f"v_{y}.r")
+
+    # midnight Jan 1 of year 2: halfway between 1997 rec 365 and
+    # 1998 rec 1 (the bug read rec 1 from 1999, which doesn't exist /
+    # would be wrong data)
+    cal = _cal(year=1998, yday=1.0, sec=0.0)
+    v = float(ds.read_daily(pathfn, cal)[0, 0])
+    assert v == pytest.approx(0.5 * (1365.0 + 2001.0))
+
+    # end of the final cycle year: 18:00 Dec 31 1998 sits between
+    # rec 365 and the PERSISTED rec 365 (reference n4=ixx), so the
+    # value is exactly rec 365 of 1998
+    cal = _cal(year=1998, yday=365.0, sec=64800.0)
+    v = float(ds.read_daily(pathfn, cal)[0, 0])
+    assert v == pytest.approx(2365.0)
+
+    # mid-cycle Dec 31 1997 18:00: 1/4 weight on 1998 rec 1
+    cal = _cal(year=1997, yday=365.0, sec=64800.0)
+    v = float(ds.read_daily(pathfn, cal)[0, 0])
+    assert v == pytest.approx(0.75 * 1365.0 + 0.25 * 2001.0)
