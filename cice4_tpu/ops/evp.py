@@ -89,6 +89,11 @@ def make_evp_params(dyn: DynamicsConfig, dt: float) -> EvpParams:
     )
 
 
+# 180-degree corner pairing of the str8 flux pieces under the tripole
+# fold: u pieces (ne, nw, se, sw) -> (sw, se, nw, ne), same for v
+_STR8_PAIR = (3, 2, 1, 0, 7, 6, 5, 4)
+
+
 class JnpNbr:
     """Neighbor-shift provider over the halo module (global jnp arrays).
 
@@ -116,6 +121,42 @@ class JnpNbr:
 
     def ne(self, f, loc=FieldLoc.CENTER, ftype=FieldType.SCALAR):
         return h.nbr_ne(f, self.bc, loc, ftype)
+
+    # -- north shifts of the str8 momentum-flux planes ---------------
+    # Under the tripole fold the 8 flux combinations are NOT scalars:
+    # the cell beyond the fold is the 180-degree-rotated physical cell,
+    # so its ne/nw/se/sw corner pieces are the sw/se/nw/ne pieces of
+    # the mirror cell with flipped sign (x/y momentum flip under the
+    # rotation).  Verified bit-exact against redundant ghost-zone
+    # computation with mirror-consistent geometry (round-5 derivation;
+    # the reference gets this implicitly by exchanging uvel/vvel with
+    # the U-fold and recomputing stress locally per block,
+    # ``ice_dyn_evp.F90:397-402`` + ``mpi/ice_boundary.F90`` tripole
+    # sections).  Non-tripole boundaries devolve to the plain shifts.
+
+    def _str8_ghost(self, str8, k, ne_shift):
+        nx = str8.shape[-1]
+        if ne_shift:     # ghost(i) = -pair[ny_src, (nx-2-i) mod nx]
+            idx = jnp.mod(jnp.arange(nx - 2, -2, -1), nx)
+        else:            # ghost(i) = -pair[ny_src, nx-1-i]
+            idx = jnp.arange(nx - 1, -1, -1)
+        src_row = -1 if self.bc.ns == "tripole" else -2
+        row = -str8[_STR8_PAIR[k]][..., src_row, :][..., idx]
+        return row[..., None, :]
+
+    def n_str(self, str8, k):
+        if self.bc.ns not in ("tripole", "tripoleT"):
+            return self.n(str8[k])
+        s = jnp.roll(str8[k], -1, axis=-2)
+        return jnp.concatenate(
+            [s[..., :-1, :], self._str8_ghost(str8, k, False)], axis=-2)
+
+    def ne_str(self, str8, k):
+        if self.bc.ns not in ("tripole", "tripoleT"):
+            return self.ne(str8[k])
+        s = jnp.roll(jnp.roll(str8[k], -1, axis=-1), -1, axis=-2)
+        return jnp.concatenate(
+            [s[..., :-1, :], self._str8_ghost(str8, k, True)], axis=-2)
 
 
 def _corner_velocities(nbr, uvel, vvel):
@@ -279,10 +320,14 @@ def _stepu(p: EvpParams, geom, nbr, iceumask, aiu, str8,
     ccb = fm + sgn * vrel * p.sinw
     ab2 = cca**2 + ccb**2
 
-    strintx = geom.uarear * (str8[0] + nbr.e(str8[1])
-                             + nbr.n(str8[2]) + nbr.ne(str8[3]))
-    strinty = geom.uarear * (str8[4] + nbr.n(str8[5])
-                             + nbr.e(str8[6]) + nbr.ne(str8[7]))
+    if hasattr(nbr, "n_str"):
+        n2, ne3 = nbr.n_str(str8, 2), nbr.ne_str(str8, 3)
+        n5, ne7 = nbr.n_str(str8, 5), nbr.ne_str(str8, 7)
+    else:
+        n2, ne3 = nbr.n(str8[2]), nbr.ne(str8[3])
+        n5, ne7 = nbr.n(str8[5]), nbr.ne(str8[7])
+    strintx = geom.uarear * (str8[0] + nbr.e(str8[1]) + n2 + ne3)
+    strinty = geom.uarear * (str8[4] + n5 + nbr.e(str8[6]) + ne7)
 
     cc1 = strintx + forcex + taux + umassdtei * uvel
     cc2 = strinty + forcey + tauy + umassdtei * vvel
@@ -435,6 +480,42 @@ def evp(state: State, grid: Grid, dyn: DynamicsConfig, dt: float,
 
     # --- ice strength ------------------------------------------------------
     strength = ice_strength(dyn, aice, vice, aice0, aicen, vicen, icetmask)
+
+    if bc.ns == "tripole":
+        # The top row of U points lies ON the U-fold: (ny-1, i) and
+        # (ny-1, (nx-2-i) mod nx) are the same physical point stored
+        # twice.  Enforce the constraint (scalars equal, vector
+        # components negated) on every U-point input, as the
+        # reference's tripole halo does for NE_CORNER fields
+        # (``mpi/ice_boundary.F90`` tripole unpack) — with consistent
+        # inputs the discrete operators preserve the constraint
+        # bit-exactly (round-5 equivariance derivation), which the
+        # k-halo sharded fold relies on.
+        nxg = grid.nx
+        idx = jnp.mod(nxg - 2 - jnp.arange(nxg), nxg)
+
+        def _sym(f, sign):
+            top = f[..., -1, :]
+            top = 0.5 * (top + sign * top[..., idx])
+            return f.at[..., -1, :].set(top)
+
+        iceumask = iceumask.at[..., -1, :].set(
+            iceumask[..., -1, :] & iceumask[..., -1, idx])
+        uvel = jnp.where(iceumask, uvel, 0.0)
+        vvel = jnp.where(iceumask, vvel, 0.0)
+        umassdtei = jnp.where(iceumask, umassdtei, 0.0)
+        fm = jnp.where(iceumask, fm, 0.0)
+        waterx = jnp.where(iceumask, waterx, 0.0)
+        watery = jnp.where(iceumask, watery, 0.0)
+        forcex = jnp.where(iceumask, forcex, 0.0)
+        forcey = jnp.where(iceumask, forcey, 0.0)
+        uvel, vvel = _sym(uvel, -1.0), _sym(vvel, -1.0)
+        uocn, vocn = _sym(uocn, -1.0), _sym(vocn, -1.0)
+        waterx, watery = _sym(waterx, -1.0), _sym(watery, -1.0)
+        forcex, forcey = _sym(forcex, -1.0), _sym(forcey, -1.0)
+        aiu = _sym(aiu, 1.0)
+        umassdtei = _sym(umassdtei, 1.0)
+        fm = _sym(fm, 1.0)
 
     # --- subcycling (":347-408") ------------------------------------------
     subcycle_args = (strength, icetmask, iceumask, aiu, uocn, vocn,

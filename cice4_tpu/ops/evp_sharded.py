@@ -20,8 +20,18 @@ cut ~10x.  Physics per subcycle is bit-identical: the body calls the
 SAME `_stress_update` / `_stepu` as the jnp path, just on locally
 padded blocks with plain rolls instead of boundary-aware shifts.
 
-Supported boundaries: cyclic/open/closed EW+NS (tripole folds use the
-GSPMD fallback).  Requires block sizes divisible by the mesh.
+Supported boundaries: cyclic/open/closed EW+NS and the production
+U-fold (``tripole``, since round 5): the top mesh row fills its north
+ghosts from the x-MIRRORED shard via an intra-row `ppermute` with
+column reversal and per-field sign/permutation laws (velocities are
+NE-corner vectors, the stress stacks swap corners under the
+180-degree rotation, the stencil-coefficient pairs cyp/cym and
+cxp/cxm swap and negate), then computes stress REDUNDANTLY in the
+fold ghost zone — which reproduces the global jnp path's paired
+str8 fold bit-exactly (the discrete operators are equivariant under
+the fold; verified in `tests/test_sharded_tripole.py`).  The T-fold
+(``tripoleT``) still falls back to GSPMD.  Requires block sizes
+divisible by the mesh.
 """
 
 from __future__ import annotations
@@ -68,7 +78,9 @@ def _exchange(a, H, px, py, ew_cyclic, ns_cyclic, xi, yi):
 
     Standard two-phase exchange: x-strips first, then full-width
     y-strips (corners ride the second phase).  Non-cyclic global edges
-    zero their ghosts (the halo module's open/closed semantics)."""
+    zero their ghosts (the halo module's open/closed semantics; for a
+    tripole NS boundary `_exchange_batch` overwrites the top mesh
+    row's north ghosts with the mirrored-shard fold afterwards)."""
     if px > 1:
         east_strip = a[..., H:-H, -2 * H:-H]
         west_strip = a[..., H:-H, H:2 * H]
@@ -106,6 +118,68 @@ def _exchange(a, H, px, py, ew_cyclic, ns_cyclic, xi, yi):
     return a
 
 
+def _exchange_round(a, H, px, py, ew_cyclic, ns_cyclic, xi, yi,
+                    tripole):
+    """Batched per-round exchange of the (14, byp, bxp) subcycle carry
+    stack [u, v, stressp(4), stressm(4), stress12(4)]: ONE set of
+    collectives per round regardless of field count (4 permutes + 1
+    fold permute on tripole) — the reference's message aggregation,
+    and the countable collective structure `tests` asserts.
+
+    Plane fold laws (tripole): rows 0-1 are NE-corner vectors (sign
+    flip, U-point row map); rows 2-13 are the three stress corner
+    stacks (center row map, 180-degree corner swap [2,3,0,1])."""
+    specs = _ROUND_SPECS if tripole else None
+    return _exchange_batch(a, H, px, py, ew_cyclic, ns_cyclic, xi, yi,
+                           specs)
+
+
+# per-plane fold laws as (source_plane, is_center_rowmap, sign):
+# the 14-plane round stack [u, v, sp(4), sm(4), s12(4)] — velocities
+# are NE-corner vectors, stress corners swap under the 180-deg fold
+_ROUND_SPECS = (
+    [0, 1, 4, 5, 2, 3, 8, 9, 6, 7, 12, 13, 10, 11],
+    [False, False] + [True] * 12,
+    [-1.0, -1.0] + [1.0] * 12,
+)
+
+
+def _exchange_batch(a, H, px, py, ew_cyclic, ns_cyclic, xi, yi,
+                    fold_specs=None):
+    """Generic batched exchange of a (P, byp, bxp) plane stack with
+    per-plane tripole fold laws.
+
+    fold_specs: None for non-tripole grids, else (src, is_center,
+    sign) sequences of length P: ghost plane p is built from source
+    plane src[p] with the center (T-scalar) or NE-corner (U-point) row
+    map and the given sign.  One fold `ppermute` covers every plane."""
+    a = _exchange(a, H, px, py, ew_cyclic, ns_cyclic, xi, yi)
+    if fold_specs is None:
+        return a
+    src, is_center, sign = fold_specs
+    byp = a.shape[-2]
+    by = byp - 2 * H
+    # one slab carries both row maps: mirror padded rows [by-1, by+H)
+    slab = a[..., by - 1:by + H, :]
+    if px > 1:
+        pairs = [(i, px - 1 - i) for i in range(px)]
+        slab = jax.lax.ppermute(slab, "x", pairs)
+    # ghost r=1..H <- slab index H-r+1 (center) / H-r (necorner),
+    # then column reversal (+1 roll for the U-point map); the roll's
+    # single wrapped column lands in the outermost ghost ring, which
+    # the shrinking-halo schedule never consumes
+    g = jnp.arange(H)
+    center_rows = jnp.flip(slab[..., H - g, :], axis=-1)
+    nec_rows = jnp.roll(jnp.flip(slab[..., H - 1 - g, :], axis=-1),
+                        -1, axis=-1)
+    srci = jnp.asarray(src)
+    isc = jnp.asarray(is_center)[:, None, None]
+    sgn = jnp.asarray(sign, a.dtype)[:, None, None]
+    ghost = sgn * jnp.where(isc, center_rows[srci], nec_rows[srci])
+    return a.at[..., -H:, :].set(
+        jnp.where(yi == py - 1, ghost, a[..., -H:, :]))
+
+
 def evp_subcycle_sharded(p, grid, mesh, strength, icetmask, iceumask,
                          aiu, uocn, vocn, waterx, watery,
                          forcex, forcey, umassdtei, fm,
@@ -121,9 +195,15 @@ def evp_subcycle_sharded(p, grid, mesh, strength, icetmask, iceumask,
     py, px = mesh.devices.shape
     ew_cyclic = grid.bc.ew == "cyclic"
     ns_cyclic = grid.bc.ns == "cyclic"
+    tripole = grid.bc.ns in ("tripole", "tripoleT")
+    tfold = grid.bc.ns == "tripoleT"
     # the exchange copies H-wide strips of INTERIOR, so H can't exceed
-    # the local block; small blocks just exchange more often
+    # the local block; small blocks just exchange more often.  The
+    # tripole fold's NE-corner slab additionally reads one row south of
+    # the top physical block rows (two for the T-fold).
     H = min(H, grid.ny // py, grid.nx // px)
+    if tripole:
+        H = min(H, grid.ny // py - (2 if tfold else 1))
     ksub = H - 1
     ndte = p.ndte
     # rounds of ksub subcycles + remainder; final subcycle runs
@@ -144,6 +224,25 @@ def evp_subcycle_sharded(p, grid, mesh, strength, icetmask, iceumask,
 
     dtype = uvel.dtype
 
+    # one-time constants stack: geometry (order = geom_names: cyp,
+    # cxp, cym, cxm swap PAIRWISE and negate under the fold; dxhy/dyhx
+    # are odd; dxt/dyt/tinyarea even T scalars; uarear a U scalar)
+    # then the 12 per-step constants
+    if tripole:
+        const_specs = (
+            # cyp<-cym, cxp<-cxm, cym<-cyp, cxm<-cxp (negated), then
+            # dxt, dyt, dxhy(-), dyhx(-), tinyarea, uarear
+            [2, 3, 0, 1, 4, 5, 6, 7, 8, 9,
+             10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21],
+            [True] * 9 + [False]                 # geometry row maps
+            + [True, True, False, False] + [False] * 8,
+            [-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0]
+            + [1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0,
+               1.0, 1.0],
+        )
+    else:
+        const_specs = None
+
     def run(*args):
         g = dict(zip(geom_names, args[:len(geom_names)]))
         (strength, icet, iceu, aiu, uocn, vocn, waterx, watery,
@@ -151,8 +250,6 @@ def evp_subcycle_sharded(p, grid, mesh, strength, icetmask, iceumask,
          stressp, stressm, stress12) = args[len(geom_names):]
         xi = jax.lax.axis_index("x")
         yi = jax.lax.axis_index("y")
-        ex = partial(_exchange, H=H, px=px, py=py, ew_cyclic=ew_cyclic,
-                     ns_cyclic=ns_cyclic, xi=xi, yi=yi)
 
         def pad2(a):
             return jnp.pad(a.astype(dtype) if a.dtype == jnp.bool_
@@ -161,14 +258,20 @@ def evp_subcycle_sharded(p, grid, mesh, strength, icetmask, iceumask,
         def pad3(a):
             return jnp.pad(a, ((0, 0), (H, H), (H, H)))
 
-        # constants: pad + fill ghosts once
-        geom = SimpleNamespace(**{k: ex(pad2(v)) for k, v in g.items()})
-        consts = [ex(pad2(v)) for v in
-                  (strength, icet.astype(dtype), iceu.astype(dtype),
-                   aiu, uocn, vocn, waterx, watery, forcex, forcey,
-                   umassdtei, fm)]
+        # constants: pad + fill ghosts once, ONE batched exchange
+        cstack = jnp.stack(
+            [pad2(g[n]) for n in geom_names]
+            + [pad2(v) for v in
+               (strength, icet.astype(dtype), iceu.astype(dtype),
+                aiu, uocn, vocn, waterx, watery, forcex, forcey,
+                umassdtei, fm)], axis=0)
+        cstack = _exchange_batch(cstack, H, px, py, ew_cyclic,
+                                 ns_cyclic, xi, yi, const_specs)
+        geom = SimpleNamespace(
+            **{n: cstack[i] for i, n in enumerate(geom_names)})
         (strength, icetf, iceuf, aiu, uocn, vocn, waterx, watery,
-         forcex, forcey, umassdtei, fm) = consts
+         forcex, forcey, umassdtei, fm) = (cstack[len(geom_names) + i]
+                                           for i in range(12))
         icet = icetf > 0.5
         iceu = iceuf > 0.5
         uvel, vvel = pad2(uvel), pad2(vvel)
@@ -185,11 +288,17 @@ def evp_subcycle_sharded(p, grid, mesh, strength, icetmask, iceumask,
                 watery, forcex, forcey, umassdtei, fm, uvel, vvel)
             return uvel, vvel, sp, sm, s12
 
-        def round_k(k, carry):
+        def ex_round(carry):
             uvel, vvel, sp, sm, s12 = carry
-            uvel, vvel = ex(uvel), ex(vvel)
-            sp, sm, s12 = ex(sp), ex(sm), ex(s12)
-            carry = (uvel, vvel, sp, sm, s12)
+            stack = jnp.concatenate(
+                [uvel[None], vvel[None], sp, sm, s12], axis=0)
+            stack = _exchange_round(stack, H, px, py, ew_cyclic,
+                                    ns_cyclic, xi, yi, tripole)
+            return (stack[0], stack[1], stack[2:6], stack[6:10],
+                    stack[10:14])
+
+        def round_k(k, carry):
+            carry = ex_round(carry)
             return jax.lax.fori_loop(
                 0, k, lambda _, c: subcycle(c), carry)
 
@@ -198,11 +307,9 @@ def evp_subcycle_sharded(p, grid, mesh, strength, icetmask, iceumask,
             0, nfull, lambda _, c: round_k(ksub, c), carry)
         if rem:
             carry = round_k(rem, carry)
-        uvel, vvel, sp, sm, s12 = carry
 
         # final subcycle with ridging diagnostics
-        uvel, vvel = ex(uvel), ex(vvel)
-        sp, sm, s12 = ex(sp), ex(sm), ex(s12)
+        uvel, vvel, sp, sm, s12 = ex_round(carry)
         sp, sm, s12, str8, d = _stress_update(
             p, geom, nbr, strength, icet, uvel, vvel, sp, sm, s12)
         uvel, vvel, strintx, strinty, strocnx, strocny = _stepu(
@@ -232,13 +339,18 @@ def evp_subcycle_sharded(p, grid, mesh, strength, icetmask, iceumask,
 
 
 def sharded_eligible(grid, mesh) -> bool:
-    """Fast-path eligibility: an active multi-device mesh, non-tripole
-    boundaries, block sizes divisible by the mesh shape."""
+    """Fast-path eligibility: an active multi-device mesh, block sizes
+    divisible by the mesh shape.  The ACCESS-OM production U-fold
+    (``tripole``) is supported since round 5 via the mirrored-shard
+    fold exchange; the rarer T-fold (``tripoleT``) still falls back to
+    GSPMD (fold-line storage duplication of T rows is not enforced)."""
     if mesh is None:
         return False
     py, px = mesh.devices.shape
     if py * px <= 1:
         return False
-    if grid.bc.ns in ("tripole", "tripoleT"):
+    if grid.bc.ns == "tripoleT":
         return False
+    if grid.bc.ns == "tripole" and grid.ny // py < 3:
+        return False  # fold slab needs a row south of the top block
     return grid.ny % py == 0 and grid.nx % px == 0

@@ -964,6 +964,29 @@ def _shift_by_jnp(sh, f, off):
     return f
 
 
+def _use_k0_ga(grid) -> bool:
+    """Eligibility of the VMEM geometry kernel feeding the GA-factored
+    XLA contraction (the round-5 default TPU path): single TPU device,
+    non-tripole, room for the cyclic wrap ring in the x pad."""
+    import os
+    if os.environ.get("CICE4_NO_PALLAS") or os.environ.get("CICE4_NO_K0_GA"):
+        return False
+    if grid.bc.ns in ("tripole", "tripoleT"):
+        return False
+    try:
+        import jax.extend.backend as _b
+        backend = _b.get_backend().platform
+    except Exception:
+        backend = jax.default_backend()
+    if backend != "tpu" or jax.device_count() != 1:
+        return False
+    from cice4_tpu.ops.remap_pallas import _HALO, pad_nx
+    nxp = pad_nx(grid.nx)
+    if grid.bc.ew == "cyclic" and 0 < nxp - grid.nx < 2 * _HALO:
+        return False
+    return True
+
+
 def _use_pallas_remap(grid, dtype) -> bool:
     """Fused-kernel eligibility (mirrors `evp._use_pallas`): single TPU
     device, non-tripole boundaries, working set within VMEM."""
@@ -1082,16 +1105,43 @@ def transport_remap(state: State, grid: Grid, dt,
         import os as _os
         use_ga = _os.environ.get("CICE4_REMAP_GA", "1") != "0"
         empty = jnp.zeros((0,) + aice0.shape, aice0.dtype)
-        if use_ga:
+        if use_ga and _use_k0_ga(grid) and ea_e is None:
+            # fully fused TPU path (round 5): K0 (geometry -> shifted
+            # GA planes) + K12 (reconstruction + contraction per
+            # category), both VMEM-resident; same math as the XLA GA
+            # path below (shared _construct_vmem/_flux_divergence_ga),
+            # agrees to f32 roundoff
+            from cice4_tpu.ops.remap_pallas import (ga_gsh_pallas,
+                                                    k12_divergence)
+            gsh9p = ga_gsh_pallas(dx, dy, afac, bc.ew, bc.ns,
+                                  integral_order, keep_pad=True)
+            mm_ext = jnp.concatenate([aice0[None], state.aicen], axis=0)
+            tm_ext = jnp.concatenate([jnp.zeros_like(tm[:1]), tm],
+                                     axis=0)
+            div_ext, divt_ext = k12_divergence(
+                gsh9p, grid.hm, mm_ext, tm_ext, meta, bc.ew, bc.ns)
+            div0 = div_ext[0]
+            upd = jax.vmap(
+                lambda mmn, tmn, dv, dvt: _update_category(
+                    mmn, tmn, dv, dvt, grid.tmask, grid.tarear, meta)
+            )(state.aicen, tm, div_ext[1:], divt_ext[1:])
+            mm_new, tm_new, (mm_mid, mt_mid) = upd
+        elif use_ga:
             # GA-factored contraction: category-independent geometry
             # accumulators, back-shifted once for all categories
-            GA = _geom_accumulators(afac, dx, dy, integral_order, sh,
-                                    ea_e, ea_n)
+            GA = _geom_accumulators(afac, dx, dy, integral_order,
+                                    sh, ea_e, ea_n)
             zero = jnp.zeros_like(afac)
-            GSH = {off: [_shift_by_jnp(sh, GA[off][k] + zero,
-                                       (-off[0], -off[1]))
-                         for k in range(10)]
-                   for off in ALL_OFFSETS}
+            # back-shift each offset's 10 moment planes as ONE
+            # stacked shift (the per-plane form cost ~1.9 ms of 90
+            # separate pad/mask ops at gx1; same values, 9 stacked
+            # shifts)
+            GSH = {}
+            for off in ALL_OFFSETS:
+                st = jnp.stack([GA[off][k] + zero
+                                for k in range(10)])
+                st = _shift_by_jnp(sh, st, (-off[0], -off[1]))
+                GSH[off] = [st[k] for k in range(10)]
 
             # streaming reconstruction (`remap_pallas._construct_vmem`
             # with the jnp shift provider): same van-Leer limiter

@@ -67,7 +67,8 @@ def _shift_by(sh, f, off):
     return f
 
 
-def _ga_kernel(order, ew, ns, dx_ref, dy_ref, afac_ref, ga_o):
+def _ga_kernel(order, ew, ns, emit_shifted, dx_ref, dy_ref, afac_ref,
+               ga_o):
     """K0: departure-triangle geometry + monomial moments + ±scatter,
     entirely in VMEM.
 
@@ -76,6 +77,10 @@ def _ga_kernel(order, ew, ns, dx_ref, dy_ref, afac_ref, ga_o):
     computed (per group, per position) instead of accumulating a
     90-plane python-side table — keeps the live set to the edge
     geometry + one group's monomials.
+
+    emit_shifted=True additionally back-shifts each offset's planes by
+    -offset before returning (the `GSH` tables `_flux_divergence_ga`
+    consumes), saving the XLA-side shift pass.
     """
     from cice4_tpu.ops.remap import (ALL_OFFSETS, GROUP_POSITIONS,
                                      NGROUPS, SHIFTS, _edge_geometry,
@@ -117,6 +122,130 @@ def _ga_kernel(order, ew, ns, dx_ref, dy_ref, afac_ref, ga_o):
                     plane = ag * mono[k]
                     ga_o[od, k] += plane
                     ga_o[og, k] -= back(plane)
+
+    if emit_shifted:
+        for o, off in enumerate(ALL_OFFSETS):
+            if off == (0, 0):
+                continue
+            boff = (-off[0], -off[1])
+            for k in range(10):
+                ga_o[o, k] = _shift_by(sh, ga_o[o, k], boff)
+
+
+def ga_gsh_pallas(dx, dy, afac, ew, ns, order=2, *, interpret=False,
+                  keep_pad=False):
+    """Back-shifted GA divergence accumulators (the `GSH` planes) as a
+    single VMEM-resident kernel: (9, 10, ny, nx), offset-major in
+    `remap.ALL_OFFSETS` order.  TPU fast path for the GA-factored XLA
+    contraction (non-tripole, free-area mode)."""
+    ny, nx_real = dx.shape
+    nx = pad_nx(nx_real)
+    if nx != nx_real:
+        dx, dy, afac = (_pad_x(a, nx, ew) for a in (dx, dy, afac))
+    params = pltpu.CompilerParams(vmem_limit_bytes=_VMEM)
+    gsh = pl.pallas_call(
+        partial(_ga_kernel, order, ew, ns, True),
+        out_shape=jax.ShapeDtypeStruct((9, 10, ny, nx), dx.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=params,
+        interpret=interpret,
+    )(dx, dy, afac)
+    return gsh if keep_pad else gsh[..., :nx_real]
+
+
+def _k12_kernel(meta, ew, ns, chunk, gsh_ref, hm_ref, mm_ref, tm_ref,
+                div_o, divt_o):
+    """K12: van-Leer reconstruction + GA contraction for one category,
+    entirely in VMEM (grid = (ncat,), the GSH planes are a constant
+    block fetched once).
+
+    Identical math to the XLA GA path: `_construct_vmem` for the
+    reconstruction and `remap._flux_divergence_ga` for the contraction
+    (shared code, Pallas shift provider).  `chunk` bounds the live
+    type-2 product stacks: the tracer contraction runs in chunks of
+    that many type-2 rows, re-deriving the chunk's products instead of
+    holding all of them live."""
+    from cice4_tpu.ops.remap import (ALL_OFFSETS, _flux_divergence_ga,
+                                     _n_type1)
+
+    ny, nx = hm_ref.shape
+    dtype = hm_ref.dtype
+    sh = PallasShift(ew, ns, ny, nx, dtype)
+    meta = list(meta)
+    T = len(meta)
+    n1 = _n_type1(meta)
+
+    GSH = {off: [gsh_ref[o, k] for k in range(10)]
+           for o, off in enumerate(ALL_OFFSETS)}
+    mm = mm_ref[0]
+    tm = tm_ref[0] if T else jnp.zeros((0, ny, nx), dtype)
+    mc, mx, my, tc, tx, ty = _construct_vmem(mm, hm_ref[:], tm, meta,
+                                             sh)
+
+    if T == 0 or chunk >= T - n1:
+        div, divt = _flux_divergence_ga(GSH, mc, mx, my, tc, tx, ty,
+                                        meta, sh)
+    else:
+        # mass + type-1 in one pass, then type-2 rows chunkwise
+        meta1 = meta[:n1]
+        div, divt1 = _flux_divergence_ga(
+            GSH, mc, mx, my, tc[:n1], tx[:n1], ty[:n1], meta1, sh)
+        parts = [divt1]
+        for lo in range(n1, T, chunk):
+            hi = min(lo + chunk, T)
+            msub = meta[:n1] + meta[lo:hi]
+            csub = jnp.concatenate([tc[:n1], tc[lo:hi]], 0)
+            xsub = jnp.concatenate([tx[:n1], tx[lo:hi]], 0)
+            ysub = jnp.concatenate([ty[:n1], ty[lo:hi]], 0)
+            _d, dsub = _flux_divergence_ga(GSH, mc, mx, my, csub,
+                                           xsub, ysub, msub, sh)
+            parts.append(dsub[n1:])
+        divt = jnp.concatenate(parts, 0)
+    div_o[0] = div
+    if T:
+        divt_o[0] = divt
+    else:
+        divt_o[0] = jnp.zeros_like(divt_o[0])
+
+
+def k12_divergence(gsh, hm, mm_ext, tm_ext, meta, ew, ns, *,
+                   chunk=2, interpret=False):
+    """(div_ext, divt_ext) for the extended category batch via the
+    fused reconstruction+contraction kernel.  `gsh` is the padded
+    (9, 10, ny, nxp) tensor from `ga_gsh_pallas(..., keep_pad=True)`;
+    mm_ext/tm_ext/hm are unpadded (categories-leading) arrays."""
+    ncat1, T = tm_ext.shape[0], tm_ext.shape[1]
+    ny, nx_real = hm.shape
+    nx = pad_nx(nx_real)
+    if nx != nx_real:
+        hm, mm_ext, tm_ext = (_pad_x(a, nx, ew)
+                              for a in (hm, mm_ext, tm_ext))
+    dtype = hm.dtype
+    params = pltpu.CompilerParams(vmem_limit_bytes=_VMEM)
+    gsh_spec = pl.BlockSpec((9, 10, ny, nx), lambda i: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    glob2 = pl.BlockSpec((ny, nx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    cat3 = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    cat4 = pl.BlockSpec((1, max(T, 1), ny, nx), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    div, divt = pl.pallas_call(
+        partial(_k12_kernel, tuple(meta), ew, ns, chunk),
+        grid=(ncat1,),
+        in_specs=[gsh_spec, glob2, cat3, cat4],
+        out_specs=(cat3, cat4),
+        out_shape=(jax.ShapeDtypeStruct((ncat1, ny, nx), dtype),
+                   jax.ShapeDtypeStruct((ncat1, max(T, 1), ny, nx),
+                                        dtype)),
+        compiler_params=params,
+        interpret=interpret,
+    )(gsh, hm, mm_ext if T else mm_ext,
+      tm_ext if T else jnp.zeros((ncat1, 1, ny, nx), dtype))
+    div = div[..., :nx_real]
+    divt = divt[..., :nx_real][:, :T]
+    return div, divt
 
 
 AXES = ((1, 0), (-1, 0), (0, 1), (0, -1))
@@ -433,7 +562,7 @@ def remap_pallas_divergence(dx, dy, afac, mm_ext, tm_ext, hm, meta,
 
     # K0: geometry -> GA moment planes
     ga = pl.pallas_call(
-        partial(_ga_kernel, order, ew, ns),
+        partial(_ga_kernel, order, ew, ns, False),
         out_shape=jax.ShapeDtypeStruct((9, 10, ny, nx), dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

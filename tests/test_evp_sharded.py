@@ -132,5 +132,11 @@ def test_eligibility_gates():
     py, px = mesh.devices.shape
     assert sharded_eligible(G, mesh) == (30 % py == 0 and 32 % px == 0)
     assert not sharded_eligible(G, None)
+    # round 5: the production U-fold engages the fast path (given
+    # blocks tall enough for the fold slab); the T-fold still gates
     G.bc.ns = "tripole"
+    assert sharded_eligible(G, mesh) == (
+        30 % py == 0 and 32 % px == 0 and 30 // py >= 3)
+    G.bc.ns = "tripoleT"
     assert not sharded_eligible(G, mesh)
+    G.bc.ns = "open"

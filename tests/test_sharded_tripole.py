@@ -48,20 +48,42 @@ def tripole_setup():
     return cfg, grid, model, state, f
 
 
-def test_tripole_step_decomposition_invariant(tripole_setup):
+def test_tripole_step_decomposition_invariant(tripole_setup, monkeypatch):
     cfg, grid, model, state, f = tripole_setup
 
-    @jax.jit
+    # the k-halo fast path must actually ENGAGE on the production
+    # U-fold grid (round-5 requirement; round 4 silently fell back to
+    # GSPMD per-roll permutes here)
+    import cice4_tpu.ops.evp_sharded as es
+    mesh = make_mesh(8)
+    assert es.sharded_eligible(grid, mesh), \
+        "k-halo fast path must be eligible on the tripole grid"
+    engaged = {}
+    orig = es.evp_subcycle_sharded
+
+    def spy(*a, **k):
+        engaged["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(es, "evp_subcycle_sharded", spy)
+
+    from cice4_tpu.parallel.mesh import set_active_mesh
+
     def step(s, g, fo):
         return ice_step(model, s, g, fo, 80.0, 0.0)
 
-    ref, _flux = step(state, grid, f)
+    ref, _flux = jax.jit(step)(state, grid, f)
     jax.block_until_ready(ref.aicen)
 
-    mesh = make_mesh(8)
-    out, _ = step(shard_pytree(state, mesh), shard_pytree(grid, mesh),
-                  shard_pytree(f, mesh))
-    jax.block_until_ready(out.aicen)
+    set_active_mesh(mesh)
+    try:
+        out, _ = jax.jit(step)(
+            shard_pytree(state, mesh), shard_pytree(grid, mesh),
+            shard_pytree(f, mesh))
+        jax.block_until_ready(out.aicen)
+    finally:
+        set_active_mesh(None)
+    assert engaged.get("yes"), "k-halo fast path did not engage"
 
     for name in ("aicen", "vicen", "vsnon", "eicen", "esnon",
                  "uvel", "vvel", "tsfcn", "sst"):
