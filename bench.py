@@ -37,7 +37,15 @@ def main():
     from cice4_tpu.state import init_state
 
     which = os.environ.get("BENCH_CONFIG", "gx1")
-    cfg = gx1_config() if which == "gx1" else gx3_config()
+    if which == "access025":
+        # ACCESS-OM 0.25-degree production scale (1440x1080 tripole,
+        # ``bld/config.nci.access-om.1440x1080:8-15``)
+        from cice4_tpu.config import access_om_config
+        cfg = access_om_config(1440, 1080)
+    elif which == "gx1":
+        cfg = gx1_config()
+    else:
+        cfg = gx3_config()
     grid = make_grid(cfg, dtype=jnp.float32)
     model = Model.create(cfg)
     state = init_state(cfg, grid, model.itd, dtype=jnp.float32)

@@ -29,15 +29,22 @@ from cice4_tpu.state import State
 FORMAT_VERSION = 1
 
 
-def _flatten(state: State):
+def _flatten(state: State, fetch=True):
+    """Flat {name: array} view of the state.  fetch=True pulls every
+    array to host (single-process dumps); fetch=False keeps the jax
+    arrays as-is — required for multi-process arrays, whose global
+    value is NOT addressable (`dump_restart_sharded` reads only
+    `.addressable_shards`)."""
+    get = (lambda a: np.asarray(jax.device_get(a))) if fetch \
+        else (lambda a: a)
     flat = {}
     for f in dataclasses.fields(state):
         v = getattr(state, f.name)
         if isinstance(v, dict):
             for k, arr in v.items():
-                flat[f"{f.name}.{k}"] = np.asarray(jax.device_get(arr))
+                flat[f"{f.name}.{k}"] = get(arr)
         else:
-            flat[f.name] = np.asarray(jax.device_get(v))
+            flat[f.name] = get(v)
     return flat
 
 
@@ -111,7 +118,7 @@ def dump_restart_sharded(state: State, directory: str, istep: int,
     """
     os.makedirs(directory, exist_ok=True)
     proc = jax.process_index()
-    flat = _flatten(state)
+    flat = _flatten(state, fetch=False)
     shards_out = {}
     manifest = {"format": FORMAT_VERSION, "istep": int(istep),
                 "time": float(time),

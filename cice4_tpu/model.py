@@ -352,19 +352,30 @@ def _step_dynamics(model: Model, state: State, grid: Grid, f: Forcing,
                         strength=z, prs_sig=z)
 
     if cfg.transport.advection == "remap":
-        from cice4_tpu.ops.remap import transport_remap
+        from cice4_tpu.ops.remap import (remap_sharded_eligible,
+                                         transport_remap,
+                                         transport_remap_sharded)
+        from cice4_tpu.parallel.mesh import get_active_mesh
         tchecks = (cfg.transport.conservation_check
                    or cfg.transport.monotonicity_check)
-        out = transport_remap(
-            state, grid, dt, cfg.transport.integral_order,
-            cfg.transport.l_dp_midpt, cfg.transport.l_fixed_area,
-            conservation_check=cfg.transport.conservation_check,
-            monotonicity_check=cfg.transport.monotonicity_check)
-        if tchecks:
-            state, aice0_adv, tguards = out
-            fluxes["_guards"].update(tguards)
+        mesh = get_active_mesh()
+        if remap_sharded_eligible(grid, mesh, cfg.transport):
+            # k-halo aggregated-exchange fast path (one batched halo
+            # move instead of ~50 per-roll GSPMD permutes)
+            state, aice0_adv = transport_remap_sharded(
+                state, grid, dt, mesh, cfg.transport.integral_order,
+                cfg.transport.l_dp_midpt, cfg.transport.l_fixed_area)
         else:
-            state, aice0_adv = out
+            out = transport_remap(
+                state, grid, dt, cfg.transport.integral_order,
+                cfg.transport.l_dp_midpt, cfg.transport.l_fixed_area,
+                conservation_check=cfg.transport.conservation_check,
+                monotonicity_check=cfg.transport.monotonicity_check)
+            if tchecks:
+                state, aice0_adv, tguards = out
+                fluxes["_guards"].update(tguards)
+            else:
+                state, aice0_adv = out
     elif cfg.transport.advection == "upwind":
         state, aice0_adv = transport.transport_upwind(state, grid, dt)
     else:

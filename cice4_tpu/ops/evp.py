@@ -352,18 +352,17 @@ def _use_pallas(dyn: DynamicsConfig, grid: Grid) -> bool:
     (multi-device) execution fall back to the jnp path, whose global
     rolls GSPMD turns into ICI collective-permutes.
 
-    OPT-IN since round 4 (CICE4_FORCE_PALLAS_EVP=1): ABAB full-model
-    benches on v5e gx1 measure the XLA subcycle loop FASTER than the
-    kernel (278x vs 238-244x with the GA remap default) — XLA fuses
-    the fori_loop body well at this size, and the kernel's whole-grid
-    VMEM residency pays layout/packing overheads.  The kernel remains
-    correct and tested; it is the substrate for the blocked multi-grid
-    variant that 1440x1080 will need.
+    DEFAULT again since round 5: with the remap no longer dominating,
+    ABAB full-model benches on v5e gx1 measure the kernel FASTER than
+    the XLA fori_loop (342x vs 310x; standalone subcycle 3.1 vs
+    4.0 ms).  Round 4 had demoted it (238-244x vs 278x) when the step
+    was remap-bound.  CICE4_NO_PALLAS=1 or dynamics.use_pallas=False
+    restores the XLA loop.
     """
     import os
     if not dyn.use_pallas or os.environ.get("CICE4_NO_PALLAS"):
         return False
-    if not os.environ.get("CICE4_FORCE_PALLAS_EVP"):
+    if os.environ.get("CICE4_NO_PALLAS_EVP"):
         return False
     if grid.bc.ns in ("tripole", "tripoleT"):
         return False

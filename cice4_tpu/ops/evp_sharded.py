@@ -344,6 +344,9 @@ def sharded_eligible(grid, mesh) -> bool:
     (``tripole``) is supported since round 5 via the mirrored-shard
     fold exchange; the rarer T-fold (``tripoleT``) still falls back to
     GSPMD (fold-line storage duplication of T rows is not enforced)."""
+    import os
+    if os.environ.get("CICE4_NO_SHARDED_EVP"):
+        return False
     if mesh is None:
         return False
     py, px = mesh.devices.shape

@@ -964,10 +964,12 @@ def _shift_by_jnp(sh, f, off):
     return f
 
 
-def _use_k0_ga(grid) -> bool:
+def _use_k0_ga(grid, local_block=False) -> bool:
     """Eligibility of the VMEM geometry kernel feeding the GA-factored
-    XLA contraction (the round-5 default TPU path): single TPU device,
-    non-tripole, room for the cyclic wrap ring in the x pad."""
+    XLA contraction (the round-5 default TPU path): single TPU device
+    (or a per-device local block inside `transport_remap_sharded`'s
+    shard_map), non-tripole, room for the cyclic wrap ring in the x
+    pad."""
     import os
     if os.environ.get("CICE4_NO_PALLAS") or os.environ.get("CICE4_NO_K0_GA"):
         return False
@@ -978,7 +980,7 @@ def _use_k0_ga(grid) -> bool:
         backend = _b.get_backend().platform
     except Exception:
         backend = jax.default_backend()
-    if backend != "tpu" or jax.device_count() != 1:
+    if backend != "tpu" or (not local_block and jax.device_count() != 1):
         return False
     from cice4_tpu.ops.remap_pallas import _HALO, pad_nx
     nxp = pad_nx(grid.nx)
@@ -1021,7 +1023,8 @@ def transport_remap(state: State, grid: Grid, dt,
                     fixed_area: bool = False,
                     conservation_check: bool = False,
                     monotonicity_check: bool = False,
-                    use_pallas: bool | None = None):
+                    use_pallas: bool | None = None,
+                    local_block: bool = False):
     """Full incremental-remapping advection of the ice state.
 
     Returns (state, aice0) — the advected open-water fraction feeds the
@@ -1105,7 +1108,7 @@ def transport_remap(state: State, grid: Grid, dt,
         import os as _os
         use_ga = _os.environ.get("CICE4_REMAP_GA", "1") != "0"
         empty = jnp.zeros((0,) + aice0.shape, aice0.dtype)
-        if use_ga and _use_k0_ga(grid) and ea_e is None:
+        if use_ga and _use_k0_ga(grid, local_block) and ea_e is None:
             # fully fused TPU path (round 5): K0 (geometry -> shifted
             # GA planes) + K12 (reconstruction + contraction per
             # category), both VMEM-resident; same math as the XLA GA
@@ -1235,3 +1238,146 @@ def transport_remap(state: State, grid: Grid, dt,
     if conservation_check or monotonicity_check:
         return state, aice0_new, guards
     return state, aice0_new
+
+
+def remap_sharded_eligible(grid, mesh, transport_cfg=None) -> bool:
+    """k-halo sharded remap eligibility: active multi-device mesh,
+    divisible blocks tall/wide enough for the 6-ring halo, non-tripole
+    (the global path folds intermediate reconstruction planes, which
+    redundant ghost computation does not reproduce), and no global
+    conservation/monotonicity checks (they need global reductions)."""
+    import os
+    if os.environ.get("CICE4_NO_SHARDED_REMAP"):
+        return False
+    if mesh is None:
+        return False
+    py, px = mesh.devices.shape
+    if py * px <= 1:
+        return False
+    if grid.bc.ns in ("tripole", "tripoleT"):
+        return False
+    if transport_cfg is not None and (transport_cfg.conservation_check
+                                      or transport_cfg.monotonicity_check):
+        return False
+    H = 6
+    return (grid.ny % py == 0 and grid.nx % px == 0
+            and grid.ny // py >= H and grid.nx // px >= H)
+
+
+def transport_remap_sharded(state: State, grid: Grid, dt, mesh,
+                            integral_order: int = 2,
+                            dp_midpt: bool = False,
+                            fixed_area: bool = False):
+    """k-halo shard_map wrapper around `transport_remap`: ONE batched
+    halo exchange of every remap input (≈70 planes as a single stack,
+    4 collective-permutes), then the ENTIRE remap pipeline runs on
+    locally padded blocks with redundant computation in the 6-wide
+    ghost zone — the reference's 8 per-field `ice_HaloUpdate`s
+    (``ice_transport_remap.F90:677-695``) and GSPMD's ~50 per-roll
+    permutes collapse into one aggregated exchange.  Bit-exact vs the
+    global path (ghost values equal global neighbor values, so every
+    cell sees identical arithmetic).
+
+    The full ring budget is 4 (geometry 2 + GSH 1 + divergence shift
+    1) plus 1 each for the optional departure-midpoint correction and
+    fixed-area edge velocities; H=6 covers all modes.
+    """
+    from cice4_tpu.ops.evp_sharded import _exchange
+
+    try:
+        from jax import shard_map
+    except ImportError:                      # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    H = 6
+    py, px = mesh.devices.shape
+    ew_cyclic = grid.bc.ew == "cyclic"
+    ns_cyclic = grid.bc.ns == "cyclic"
+    dtype = state.aicen.dtype
+    tracer_names = list(state.trcrn.keys())
+
+    # spatial planes consumed by the remap, flattened to (P, ny, nx)
+    fields = dict(
+        aicen=state.aicen, vicen=state.vicen, vsnon=state.vsnon,
+        eicen=state.eicen, esnon=state.esnon, tsfcn=state.tsfcn,
+        uvel=state.uvel[None], vvel=state.vvel[None],
+        dxu=grid.dxu[None], dyu=grid.dyu[None], hm=grid.hm[None],
+        tmask=grid.tmask.astype(dtype)[None],
+        tarear=grid.tarear[None], hte=grid.hte[None],
+        htn=grid.htn[None],
+        **{f"trc_{n}": state.trcrn[n] for n in tracer_names},
+    )
+    shapes = {k: v.shape for k, v in fields.items()}
+    splits = {}
+    off = 0
+    for k, v in fields.items():
+        n = 1
+        for d in v.shape[:-2]:
+            n *= int(d)
+        splits[k] = (off, off + n)
+        off += n
+    stack = jnp.concatenate(
+        [v.reshape((-1,) + v.shape[-2:]).astype(dtype)
+         for v in fields.values()], axis=0)
+
+    from cice4_tpu.parallel.halo import BoundaryConditions
+    from types import SimpleNamespace
+    bc_local = BoundaryConditions(ew="cyclic", ns="cyclic")
+
+    def run(stack):
+        xi = jax.lax.axis_index("x")
+        yi = jax.lax.axis_index("y")
+        a = jnp.pad(stack, ((0, 0), (H, H), (H, H)))
+        a = _exchange(a, H, px, py, ew_cyclic, ns_cyclic, xi, yi)
+
+        def take(name):
+            lo, hi = splits[name]
+            v = a[lo:hi]
+            lead = shapes[name][:-2]
+            byp, bxp = v.shape[-2:]
+            if len(lead) == 1 and lead[0] == 1:
+                return v[0]
+            return v.reshape(tuple(lead) + (byp, bxp))
+
+        hm = take("hm")
+        zero = jnp.zeros_like(hm)
+        z4 = jnp.zeros((4,) + hm.shape, dtype)
+        gridlike = SimpleNamespace(
+            bc=bc_local, dxu=take("dxu"), dyu=take("dyu"),
+            hm=hm, tmask=take("tmask") > 0.5,
+            tarear=take("tarear"), hte=take("hte"), htn=take("htn"),
+            ny=hm.shape[-2], nx=hm.shape[-1])
+        # untouched State fields are harmless block-local dummies (the
+        # remap never reads them; outputs come from the remapped set)
+        st = State(
+            aicen=take("aicen"), vicen=take("vicen"),
+            vsnon=take("vsnon"), eicen=take("eicen"),
+            esnon=take("esnon"), tsfcn=take("tsfcn"),
+            trcrn={n: take(f"trc_{n}") for n in tracer_names},
+            uvel=take("uvel"), vvel=take("vvel"),
+            stressp=z4, stressm=z4, stress12=z4,
+            iceumask=hm > 2.0, sst=zero, frzmlt=zero,
+            scale_factor=zero, strocnxT=zero, strocnyT=zero,
+        )
+        out, aice0 = transport_remap(
+            st, gridlike, dt, integral_order, dp_midpt, fixed_area,
+            local_block=True)
+        core = lambda v: v[..., H:-H, H:-H]  # noqa: E731
+        return (core(out.aicen), core(out.vicen), core(out.vsnon),
+                core(out.eicen), core(out.esnon), core(out.tsfcn),
+                tuple(core(out.trcrn[n]) for n in tracer_names),
+                core(aice0))
+
+    s2 = P(None, "y", "x")
+    s3 = P(None, None, "y", "x")
+    outspec = (s2, s2, s2, s3, s3, s2,
+               tuple(s2 for _ in tracer_names), P("y", "x"))
+    fn = shard_map(run, mesh=mesh, in_specs=(s2,), out_specs=outspec)
+    (aicen, vicen, vsnon, eicen, esnon, tsfcn, trc,
+     aice0) = fn(stack)
+    state = state.replace(
+        aicen=aicen, vicen=vicen, vsnon=vsnon, eicen=eicen,
+        esnon=esnon, tsfcn=tsfcn,
+        trcrn=dict(zip(tracer_names, trc)))
+    return state, aice0

@@ -30,8 +30,17 @@ def init_distributed():
     import os
     if not os.environ.get("CICE4_DISTRIBUTED"):
         return False
+    kw = {}
+    # explicit rendezvous (localhost multi-process testing and
+    # clusters without an auto-detected environment)
+    if os.environ.get("CICE4_COORDINATOR"):
+        kw = dict(
+            coordinator_address=os.environ["CICE4_COORDINATOR"],
+            num_processes=int(os.environ["CICE4_NUM_PROCESSES"]),
+            process_id=int(os.environ["CICE4_PROCESS_ID"]),
+        )
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kw)
         return True
     except RuntimeError:
         return True  # already initialized

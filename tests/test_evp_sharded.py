@@ -140,3 +140,102 @@ def test_eligibility_gates():
     G.bc.ns = "tripoleT"
     assert not sharded_eligible(G, mesh)
     G.bc.ns = "open"
+
+
+def _count_ppermutes(jaxpr, mult=1):
+    """Dynamic ppermute executions in a jaxpr: recurse through nested
+    jaxprs, multiplying through `scan` trip counts (static fori_loops
+    lower to scan, so the k-halo round loop is countable exactly)."""
+    total = 0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "ppermute":
+            total += mult
+            continue
+        m = mult
+        if name == "scan":
+            m = mult * eqn.params["length"]
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (list, tuple)) else (v,)
+            for w in vs:
+                if hasattr(w, "jaxpr"):      # ClosedJaxpr
+                    total += _count_ppermutes(w.jaxpr, m)
+                elif hasattr(w, "eqns"):     # raw Jaxpr
+                    total += _count_ppermutes(w, m)
+    return total
+
+
+def _hlo_while_body_permute_rate(txt):
+    """Static collective-permute count inside while bodies of compiled
+    HLO (= permutes executed on EVERY loop iteration)."""
+    import re
+    bodies = set(re.findall(r"body=%?([\w.\-]+)", txt))
+    comp = None
+    counts = {}
+    for line in txt.splitlines():
+        m = re.match(r"\s*(?:ENTRY\s+)?%([\w.\-]+)\s*\(", line)
+        if m:
+            comp = m.group(1)
+        if ("collective-permute" in line
+                and "collective-permute-done" not in line):
+            counts[comp] = counts.get(comp, 0) + 1
+    return sum(counts.get(b, 0) for b in bodies)
+
+
+def test_collective_structure(setup):
+    """The round-5 regression test for PERF.md's central multi-chip
+    claim: the k-halo fast path executes an order of magnitude fewer
+    collective-permutes per dynamics step than the GSPMD per-roll
+    pattern (`ice.log.Linux.LANL.coyote:795` is the cost being
+    designed away).
+
+    Fast path: counted EXACTLY from the jaxpr (explicit `ppermute`
+    calls x scan trip counts).  GSPMD fallback: lower-bounded from the
+    compiled HLO (permutes inside the subcycle while body x ndte)."""
+    cfg, grid, model, state, f = setup
+    mesh = make_mesh(8)
+    py, px = mesh.devices.shape
+    from cice4_tpu.ops.evp_sharded import (DEFAULT_H,
+                                           evp_subcycle_sharded)
+
+    agg = itd_ops.aggregate(state, grid.tmask)
+    ny, nx = grid.ny, grid.nx
+    z2 = jnp.zeros((ny, nx))
+    z3 = jnp.zeros((4, ny, nx))
+    from cice4_tpu.ops.evp import _evp_subcycle_jnp, make_evp_params
+    p = make_evp_params(cfg.dynamics, cfg.run.dt)
+    args = (agg["aice"] + 0.1, grid.tmask, grid.umask,
+            agg["aice"], f.uocn, f.vocn, z2, z2, z2, z2,
+            z2 + 1.0, z2, z2, z2, z3, z3, z3)
+
+    # ---- fast path: exact dynamic count from the jaxpr -------------
+    set_active_mesh(mesh)
+    try:
+        jx = jax.make_jaxpr(
+            lambda *a: evp_subcycle_sharded(p, grid, mesh, *a))(*args)
+    finally:
+        set_active_mesh(None)
+    fast = _count_ppermutes(jx.jaxpr)
+
+    H = min(DEFAULT_H, ny // py, nx // px)
+    ksub = H - 1
+    nfull = (p.ndte - 1) // ksub
+    rem = (p.ndte - 1) - nfull * ksub
+    rounds = nfull + (1 if rem else 0) + 1
+    # 4 permutes per batched round + 4 for the one-time constants
+    expected = 4 * rounds + 4
+    assert fast == expected, (fast, expected)
+
+    # ---- GSPMD fallback: per-iteration permutes from the HLO -------
+    from cice4_tpu.parallel.mesh import pytree_shardings
+    shardings = pytree_shardings(args, mesh)
+    txt = jax.jit(
+        lambda *a: _evp_subcycle_jnp(p, grid, *a),
+        in_shardings=shardings,
+    ).lower(*args).compile().as_text()
+    per_iter = _hlo_while_body_permute_rate(txt)
+    assert per_iter >= 2, f"expected rolls in the subcycle body: {per_iter}"
+    gspmd = per_iter * p.ndte
+
+    # the headline claim: >= an order of magnitude fewer collectives
+    assert fast * 8 <= gspmd, (fast, gspmd)
