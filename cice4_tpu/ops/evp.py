@@ -204,14 +204,11 @@ def _strain_rates(geom, nbr, uvel, vvel):
     return div, ten, shr
 
 
-def _stress_update(p: EvpParams, geom, nbr, strength, tmask_ice,
-                   uvel, vvel, stressp, stressm, stress12):
-    """One `stress` call (``ice_dyn_evp.F90:947-1293``): update the 12
-    corner stresses and assemble the 8 momentum flux combinations.
-
-    Returns (stressp, stressm, stress12, str8, diag) where str8 is
-    (8, ny, nx) and diag carries strain invariants for ridging.
-    """
+def _stress_relax(p: EvpParams, geom, nbr, strength, tmask_ice,
+                  uvel, vvel, stressp, stressm, stress12):
+    """Strain rates + stress relaxation (``ice_dyn_evp.F90:1065-1190``):
+    the per-cell half of `stress`, without the str8 flux assembly.
+    Returns (stressp, stressm, stress12, diag)."""
     div, ten, shr = _strain_rates(geom, nbr, uvel, vvel)
     delta = jnp.sqrt(div**2 + p.ecci * (ten**2 + shr**2))
 
@@ -229,7 +226,16 @@ def _stress_update(p: EvpParams, geom, nbr, strength, tmask_ice,
     stressm = jnp.where(tmask_ice, (stressm + c1 * ten) * p.denom2, 0.0)
     stress12 = jnp.where(tmask_ice,
                          (stress12 + c1 * shr * p5) * p.denom2, 0.0)
+    diag = dict(div=div, delta=delta, ten=ten, shr=shr, prs_sig=prs_sig)
+    return stressp, stressm, stress12, diag
 
+
+def _str8_from_stress(geom, tmask_ice, stressp, stressm, stress12):
+    """Pointwise assembly of the 8 momentum flux combinations from the
+    (already-updated) corner stresses (``ice_dyn_evp.F90:1196-1289``).
+    Depends only on same-cell stresses + geometry, which the blocked
+    Pallas kernel exploits (recompute on the north halo rows instead of
+    carrying str8 between blocks)."""
     sp1, sp2, sp3, sp4 = stressp
     sm1, sm2, sm3, sm4 = stressm
     s121, s122, s123, s124 = stress12
@@ -298,9 +304,21 @@ def _stress_update(p: EvpParams, geom, nbr, strength, tmask_ice,
     str7 = strp - strm + str12sn - dyhx * (csigpsw + csigmsw) + dxhy * csig12sw
 
     str8 = jnp.stack([str0, str1, str2, str3, str4, str5, str6, str7])
-    str8 = jnp.where(tmask_ice[None], str8, 0.0)
+    return jnp.where(tmask_ice[None], str8, 0.0)
 
-    diag = dict(div=div, delta=delta, ten=ten, shr=shr, prs_sig=prs_sig)
+
+def _stress_update(p: EvpParams, geom, nbr, strength, tmask_ice,
+                   uvel, vvel, stressp, stressm, stress12):
+    """One `stress` call (``ice_dyn_evp.F90:947-1293``): update the 12
+    corner stresses and assemble the 8 momentum flux combinations.
+
+    Returns (stressp, stressm, stress12, str8, diag) where str8 is
+    (8, ny, nx) and diag carries strain invariants for ridging.
+    """
+    stressp, stressm, stress12, diag = _stress_relax(
+        p, geom, nbr, strength, tmask_ice, uvel, vvel,
+        stressp, stressm, stress12)
+    str8 = _str8_from_stress(geom, tmask_ice, stressp, stressm, stress12)
     return stressp, stressm, stress12, str8, diag
 
 

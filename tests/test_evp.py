@@ -157,7 +157,10 @@ def test_pallas_kernel_matches_jnp():
     forcex, forcey = rand(-0.2, 0.2), rand(-0.2, 0.2)
     umassdtei = rand(1.0, 60.0)
     fm = rand(-2.0, 2.0)
-    uvel, vvel = rand(-0.3, 0.3), rand(-0.3, 0.3)
+    # evp_prep2's masked-zero invariant (velocities zero off iceumask,
+    # stresses zero off icetmask) — the contract both subcycle paths
+    # assume, and what the blocked kernel's activity gating relies on
+    uvel, vvel = rand(-0.3, 0.3) * iceu, rand(-0.3, 0.3) * iceu
     sp = rand(-1e3, 1e3, (4, ny, nx)) * icet
     sm = rand(-1e3, 1e3, (4, ny, nx)) * icet
     s12 = rand(-1e3, 1e3, (4, ny, nx)) * icet
@@ -166,6 +169,62 @@ def test_pallas_kernel_matches_jnp():
 
     ref = evp_mod._evp_subcycle_jnp(p, grid, *args)
     out = evp_subcycle_pallas(p, grid, *args, interpret=True)
+
+    names = ("uvel", "vvel", "stressp", "stressm", "stress12")
+    for i, name in enumerate(names):
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref[i]),
+                                   rtol=1e-12, atol=1e-12, err_msg=name)
+    for key in ("div_sum", "delta_sum", "ten_sum", "shr_sum", "prs_sig"):
+        np.testing.assert_allclose(np.asarray(out[5][key]),
+                                   np.asarray(ref[5][key]),
+                                   rtol=1e-12, atol=1e-12, err_msg=key)
+    for i, name in zip(range(6, 10), ("strintx", "strinty",
+                                      "strocnx", "strocny")):
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref[i]),
+                                   rtol=1e-12, atol=1e-12, err_msg=name)
+
+
+@pytest.mark.parametrize("ny,bh", [(64, 16), (56, 16), (48, 32)])
+def test_pallas_blocked_kernel_matches_jnp(ny, bh):
+    """The activity-gated blocked kernel (multi-block, inactive blocks,
+    ragged ny/bh) is numerically identical to the jnp path: ice bands
+    near both NS edges, empty mid-latitude blocks skipped."""
+    from cice4_tpu.ops.evp_pallas import evp_subcycle_pallas
+
+    cfg, grid, s = _uniform_setup(ny=ny, nx=128)
+    dyn = DynamicsConfig(ndte=20)
+    dt = 3600.0
+    p = evp_mod.make_evp_params(dyn, dt)
+    nx = grid.nx
+    rng = np.random.RandomState(7)
+    f64 = jnp.float64
+
+    def rand(lo, hi, shape=(ny, nx)):
+        return jnp.asarray(rng.uniform(lo, hi, shape), f64)
+
+    # two polar ice bands; everything in between is ice-free and must
+    # be skipped by the gating without changing any result
+    row = np.arange(ny)[:, None] * np.ones((1, nx))
+    band = (row < ny // 4) | (row >= ny - ny // 5)
+    icet = jnp.asarray(band & (rng.rand(ny, nx) > 0.3))
+    iceu = icet & (rng.rand(ny, nx) > 0.1)
+    strength = rand(0.0, 2.0e4) * icet
+    aiu = rand(0.5, 1.0)
+    uocn, vocn = rand(-0.2, 0.2), rand(-0.2, 0.2)
+    waterx, watery = rand(-0.2, 0.2), rand(-0.2, 0.2)
+    forcex, forcey = rand(-0.2, 0.2) * iceu, rand(-0.2, 0.2) * iceu
+    umassdtei = rand(1.0, 60.0)
+    fm = rand(-2.0, 2.0)
+    uvel, vvel = rand(-0.3, 0.3) * iceu, rand(-0.3, 0.3) * iceu
+    sp = rand(-1e3, 1e3, (4, ny, nx)) * icet
+    sm = rand(-1e3, 1e3, (4, ny, nx)) * icet
+    s12 = rand(-1e3, 1e3, (4, ny, nx)) * icet
+    args = (strength, icet, iceu, aiu, uocn, vocn, waterx, watery,
+            forcex, forcey, umassdtei, fm, uvel, vvel, sp, sm, s12)
+
+    ref = evp_mod._evp_subcycle_jnp(p, grid, *args)
+    out = evp_subcycle_pallas(p, grid, *args, interpret=True,
+                              block_rows=bh)
 
     names = ("uvel", "vvel", "stressp", "stressm", "stress12")
     for i, name in enumerate(names):

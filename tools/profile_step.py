@@ -1,12 +1,11 @@
-"""Per-phase wall-clock profile of one model step on the real device.
+"""Per-op device profile of the full gx1 step (TPU).
 
-Mirrors the reference's timer table (`ice_timers.F90` names): Dynamics,
-Advection, Thermo, Shortwave, Ridging, CatConv.  Each phase is jitted
-separately and timed with block_until_ready over N repeats.
-
-Usage:  python tools/profile_step.py [gx3|gx1]
+Captures a jax.profiler trace of N steps and prints the top fusions /
+ops by total device self-time, using the tensorboard profiler plugin's
+xplane parser.  Feeds the column-fusion work in PERF.md.
 """
 
+import glob
 import os
 import sys
 import time
@@ -21,133 +20,73 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import jax.numpy as jnp
 
-from cice4_tpu.config import gx1_config, gx3_config
+from cice4_tpu.config import gx1_config
 from cice4_tpu.grid import make_grid
 from cice4_tpu.io.forcing_data import AnalyticForcing
-from cice4_tpu import model as M
-from cice4_tpu.model import Model
-from cice4_tpu.state import init_state, freezing_temperature
-
-
-def timeit(fn, *args, n=20, label=""):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dtm = (time.time() - t0) / n * 1e3
-    print(f"{label:30s} {dtm:9.3f} ms")
-    return dtm
+from cice4_tpu.model import Model, ice_step
+from cice4_tpu.state import init_state
 
 
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "gx1"
-    cfg = gx1_config() if which == "gx1" else gx3_config()
+    cfg = gx1_config()
     grid = make_grid(cfg, dtype=jnp.float32)
     model = Model.create(cfg)
     state = init_state(cfg, grid, model.itd, dtype=jnp.float32)
-    provider = AnalyticForcing(cfg, grid, jnp.float32)
-    f = provider(1.0, 0.0)
-    dt = cfg.run.dt
-    yday, sec = jnp.float32(80.0), jnp.float32(0.0)
-    print(f"config={which} grid={grid.ny}x{grid.nx} "
-          f"ndte={cfg.dynamics.ndte} device={jax.devices()[0]}")
-
-    Tf = freezing_temperature(cfg, f.sss)
-
-    # spin up to a representative (steady-state-ish) state first:
-    # the data-dependent while_loops (thermo Newton, ridging) are
-    # cheapest on the smooth initial profile.
-    nspin = int(os.environ.get("SPINUP", "24"))
-    if nspin:
-        @jax.jit
-        def _full(state):
-            s, _ = M.ice_step(model, state, grid, f, yday, sec)
-            return s
-        t0 = time.time()
-        for _ in range(nspin):
-            state = _full(state)
-        jax.block_until_ready(state.aicen)
-        print(f"# spinup {nspin} steps: {time.time()-t0:.1f} s")
-
-    # phase jits -----------------------------------------------------------
-    @jax.jit
-    def ph_radiation(state):
-        return M._step_radiation(model, state, grid, f, yday, sec, dt)
-
-    sw = ph_radiation(state)
+    forcing = AnalyticForcing(cfg, grid, jnp.float32)(1.0, 0.0)
 
     @jax.jit
-    def ph_therm1(state):
-        return M._step_therm1(model, state, grid, f, sw, Tf, yday, dt)
+    def step(state, forcing, yday, sec):
+        return ice_step(model, state, grid, forcing, yday, sec)
 
-    st1, fluxes, init = ph_therm1(state)
+    s, _ = step(state, forcing, jnp.float32(1.0), jnp.float32(0.0))
+    jax.block_until_ready(s.aicen)
 
-    @jax.jit
-    def ph_therm2(state, fluxes):
-        return M._step_therm2(model, state, grid, dict(fluxes), init, Tf, dt)
+    logdir = "/tmp/cice4_profile"
+    os.system(f"rm -rf {logdir}")
+    n = 12
+    with jax.profiler.trace(logdir):
+        for k in range(n):
+            s, _ = step(s, forcing, jnp.float32(1.0 + k / 24.0),
+                        jnp.float32(0.0))
+        jax.block_until_ready(s.aicen)
 
-    st2, fluxes2 = ph_therm2(st1, fluxes)
+    # parse the xplane with xprof's hlo_stats converter
+    pb = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))[-1]
+    import json as _json
 
-    from cice4_tpu.ops import itd as itd_ops
-    from cice4_tpu.ops.evp import evp
-    from cice4_tpu.ops import mechred
-
-    @jax.jit
-    def ph_evp(state, fluxes):
-        agg = itd_ops.aggregate(state, grid.tmask)
-        return evp(state, grid, cfg.dynamics, dt,
-                   agg["aice"], agg["vice"], agg["vsno"],
-                   state.aicen, state.vicen, agg["aice0"],
-                   f.uocn, f.vocn, f.ss_tltx, f.ss_tlty,
-                   fluxes["strairxT"], fluxes["strairyT"])
-
-    st3, dyn_diag = ph_evp(st2, fluxes2)
-
-    @jax.jit
-    def ph_remap(state):
-        from cice4_tpu.ops.remap import transport_remap
-        return transport_remap(state, grid, dt,
-                               cfg.transport.integral_order,
-                               cfg.transport.l_dp_midpt)
-
-    st4, aice0_adv = ph_remap(st3)
-
-    @jax.jit
-    def ph_ridge(state):
-        st, rdg = mechred.ridge_ice(state, model.itd, cfg.dynamics, dt,
-                                    dyn_diag["rdg_conv"],
-                                    dyn_diag["rdg_shear"], grid.tmask,
-                                    aice0=aice0_adv)
-        return st
-
-    st5 = ph_ridge(st4)
-
-    @jax.jit
-    def ph_cleanup(state):
-        return itd_ops.cleanup_itd(state, model.itd, grid.tmask, dt)
-
-    @jax.jit
-    def ph_coupling(state, fluxes):
-        return M._coupling_prep(model, state, grid, f, sw,
-                                dict(fluxes), Tf, dt)
-
-    @jax.jit
-    def full(state):
-        return M.ice_step(model, state, grid, f, yday, sec)
-
-    total = 0.0
-    total += timeit(ph_radiation, state, label="Shortwave (radiation)")
-    total += timeit(ph_therm1, state, label="Thermo (therm1 vertical)")
-    total += timeit(ph_therm2, st1, fluxes, label="CatConv (therm2 itd)")
-    total += timeit(ph_evp, st2, fluxes2, label="Dynamics (EVP)")
-    total += timeit(ph_remap, st3, label="Advection (remap)")
-    total += timeit(ph_ridge, st4, label="Ridging")
-    total += timeit(ph_cleanup, st5, label="cleanup_itd")
-    total += timeit(ph_coupling, st5, fluxes2, label="Coupling prep")
-    print(f"{'sum of phases':30s} {total:9.3f} ms")
-    timeit(full, state, label="FULL STEP (one jit)")
+    from xprof.convert import raw_to_tool_data as rtd
+    data, _ctype = rtd.xspace_to_tool_data([pb], "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    rows = _json.loads(data)
+    # gviz table: first element describes columns
+    cols = [c["label"] for c in rows[0]["cols"]] if isinstance(rows, list) \
+        else [c["label"] for c in rows["cols"]]
+    table = rows[0]["rows"] if isinstance(rows, list) else rows["rows"]
+    i_name = cols.index("HLO op name")
+    i_fw = cols.index("Framework op name") if "Framework op name" in cols \
+        else None
+    i_cat = cols.index("HLO op category") if "HLO op category" in cols else None
+    i_time = cols.index("Total self time (us)")
+    i_occ = cols.index("#Occurrences") if "#Occurrences" in cols else None
+    i_bw = cols.index("Measured memory BW (GiB/s)") \
+        if "Measured memory BW (GiB/s)" in cols else None
+    items = []
+    for r in table:
+        c = r["c"]
+        items.append((c[i_name]["v"],
+                      c[i_cat]["v"] if i_cat is not None else "",
+                      float(c[i_time]["v"]),
+                      int(c[i_occ]["v"]) if i_occ is not None else 0,
+                      c[i_fw]["v"] if i_fw is not None else "",
+                      float(c[i_bw]["v"]) if i_bw is not None else 0.0))
+    items.sort(key=lambda t: -t[2])
+    tsum = sum(t[2] for t in items)
+    print(f"total device self-time/step: {tsum/n/1e3:.3f} ms "
+          f"({len(items)} ops)")
+    for name, cat, t, occ, fw, bw in items[:60]:
+        print(f"{t/n:9.1f}us {t/tsum*100:5.1f}% x{occ:4d} bw={bw:6.0f} "
+              f"[{cat:14s}] {name[:40]:40s} {fw[:110]}")
 
 
 if __name__ == "__main__":
