@@ -239,6 +239,16 @@ def _kernel_blocked(p, ew, ns, nb, bh, ny,
         else:
             ref[:, pl.ds(start, size), :] = val
 
+    # the in-kernel state lives in the OUTPUT refs (read-modify-write
+    # per block).  input_output_aliases only aliases the HBM buffers;
+    # the output VMEM blocks are fresh allocations, so they must be
+    # seeded from the inputs explicitly (interpret mode hides this).
+    uvel_o[...] = uvel_in[...]
+    vvel_o[...] = vvel_in[...]
+    sp_o[...] = sp_in[...]
+    sm_o[...] = sm_in[...]
+    s12_o[...] = s12_in[...]
+
     def block_body(i, _):
         b = nb - 1 - i
         r0 = G + b * bh        # padded row of the block interior start
@@ -349,6 +359,7 @@ def evp_subcycle_pallas(p, grid, strength, icetmask, iceumask, aiu,
     import os
     if (grid.bc.ns in ("closed", "open")
             and not os.environ.get("CICE4_NO_EVP_BLOCKING")):
+        block_rows = int(os.environ.get("CICE4_EVP_BH", block_rows))
         return _evp_pallas_blocked(
             p, grid, strength, icetmask, iceumask, aiu, uocn, vocn,
             waterx, watery, forcex, forcey, umassdtei, fm, uvel, vvel,

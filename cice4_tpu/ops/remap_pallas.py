@@ -523,15 +523,20 @@ def _pad_x(a, nxp, ew):
     pad = nxp - nx
     if pad == 0:
         return a
-    widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
-    out = jnp.pad(a, widths)
-    if ew == "cyclic":
-        if pad < 2 * _HALO:
-            raise ValueError(
-                f"cyclic x-pad {pad} too narrow for wrap halo {_HALO}")
-        out = out.at[..., nx:nx + _HALO].set(a[..., :_HALO])
-        out = out.at[..., nxp - _HALO:].set(a[..., nx - _HALO:])
-    return out
+    if ew != "cyclic":
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return jnp.pad(a, widths)
+    if pad < 2 * _HALO:
+        raise ValueError(
+            f"cyclic x-pad {pad} too narrow for wrap halo {_HALO}")
+    # concatenation instead of pad + two .at[].set ring fills: the
+    # scatters materialized as two full-array dynamic-update-slices
+    # (2 x ~120 us on the (6,9,ny,nxp) gx1 input stack); the concat
+    # lowers to one fusion
+    return jnp.concatenate(
+        [a, a[..., :_HALO],
+         jnp.zeros(a.shape[:-1] + (pad - 2 * _HALO,), a.dtype),
+         a[..., nx - _HALO:]], axis=-1)
 
 
 def remap_pallas_divergence(dx, dy, afac, mm_ext, tm_ext, hm, meta,

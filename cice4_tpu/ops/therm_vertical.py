@@ -65,6 +65,18 @@ def make_thermo_params(cfg, itd) -> ThermoParams:
     )
 
 
+def _profile_const(vals, nilyr, like=None):
+    """Fixed vertical profile built from python scalars — scalar
+    splats, not an array constant: Pallas kernels may capture scalar
+    consts only, and Mosaic cannot broadcast a (n,1,1) vector along
+    sublanes+lanes at once.  With `like` (a reference plane) the
+    profile is materialized at (nilyr, *like.shape)."""
+    if like is not None:
+        return jnp.stack([jnp.full_like(like, float(v))
+                          for v in vals[:nilyr]])
+    return jnp.stack([jnp.full((1, 1), float(v)) for v in vals[:nilyr]])
+
+
 def tin_from_qin(p: ThermoParams, qin, tmlt_k):
     """Invert layer enthalpy -> temperature (``calculate_Tin_from_qin``,
     ice_therm_vertical.F90:1227-1260)."""
@@ -128,7 +140,7 @@ def _conductivity(p: ThermoParams, l_snow, hilyr, hslyr, Tin):
     """Interface conductivities kh (nmat = nslyr+nilyr+1 entries,
     0-based kh[i] == reference kh(i+1)) (``conductivity:2169-2295``)."""
     nilyr, nslyr = p.nilyr, p.nslyr
-    salin = jnp.asarray(p.salin)[:nilyr, None, None]
+    salin = _profile_const(p.salin, nilyr, like=hilyr)
     kslyr = jnp.full((nslyr,) + Tin.shape[1:], cn.ksno, Tin.dtype)
     if p.conduct == "MU71":
         kilyr = cn.kice + betak * salin / jnp.minimum(-cn.puny, Tin)
@@ -210,10 +222,45 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
 
     All (ny, nx)-shaped (layer arrays (nlyr, ny, nx)).  `has_ice` masks
     active cells.  Returns dict of updated fields + fluxes.
+
+    On TPU the solve runs as a row-blocked Pallas kernel with
+    per-block convergence + ice-activity gating
+    (`_temperature_changes_pallas`); elsewhere (and under
+    CICE4_NO_PALLAS_THERMO) the whole-grid `lax.while_loop` runs.
     """
+    if _use_pallas_thermo() and Tsf.ndim == 2:
+        return _temperature_changes_pallas(
+            p, dt, has_ice, rhoa, flw, potT, Qa, shcoef, lhcoef,
+            fswsfc, fswint, fswthrun, Sswabs, Iswabs,
+            hilyr, hslyr, qin, Tin, qsn, Tsn, Tsf, Tbot, einit)
+    return _temperature_changes_core(
+        p, dt, has_ice, rhoa, flw, potT, Qa, shcoef, lhcoef,
+        fswsfc, fswint, fswthrun, Sswabs, Iswabs,
+        hilyr, hslyr, qin, Tin, qsn, Tsn, Tsf, Tbot, einit)
+
+
+def _use_pallas_thermo() -> bool:
+    import os
+    if os.environ.get("CICE4_NO_PALLAS_THERMO"):
+        return False
+    try:
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
+    except Exception:
+        return False
+
+
+def _temperature_changes_core(p: ThermoParams, dt, has_ice,
+                              rhoa, flw, potT, Qa, shcoef, lhcoef,
+                              fswsfc, fswint, fswthrun, Sswabs, Iswabs,
+                              hilyr, hslyr, qin, Tin, qsn, Tsn, Tsf,
+                              Tbot, einit, loop=True):
+    """The solve body shared by the XLA path (whole grid, `loop=True`)
+    and the Pallas kernel (per row block; `loop=False` is the
+    inactive-block branch, equivalent to the while_loop's first-
+    iteration no-op on cells without ice)."""
     nilyr, nslyr = p.nilyr, p.nslyr
     nmat = nslyr + nilyr + 1
-    tmlt = jnp.asarray(p.tmlt)[:nilyr, None, None]
+    tmlt = _profile_const(p.tmlt, nilyr, like=hilyr)
 
     l_snow = has_ice & (hslyr > hs_min / nslyr)
     dt_rhoi_hlyr = dt / (cn.rhoi * jnp.maximum(hilyr, cn.puny))
@@ -238,21 +285,27 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
         else Tin_init <= -dTemp
     Iswabs_tmp = jnp.where(is_cold, jnp.minimum(Iswabs, room), 0.0)
     Iswabs_tmp = jnp.where(Iswabs_tmp < cn.puny, 0.0, Iswabs_tmp)
+    # list-rebuild instead of .at[k].set: static-index scatters have no
+    # Pallas TPU lowering, and this path runs inside _tc_kernel
+    isw = [Iswabs[k] for k in range(nilyr)]
     for k in range(nilyr):
-        dswabs = jnp.minimum(Iswabs[k] - Iswabs_tmp[k], fswint)
+        dswabs = jnp.minimum(isw[k] - Iswabs_tmp[k], fswint)
         fswsfc = fswsfc + dswabs
         fswint = fswint - dswabs
-        Iswabs = Iswabs.at[k].set(Iswabs[k] - dswabs)
+        isw[k] = isw[k] - dswabs
+    Iswabs = jnp.stack(isw)
     Sswabs_tmp = jnp.where(Tsn_init <= -dTemp,
                            jnp.minimum(Sswabs, -frac * Tsn_init
                                        / jnp.maximum(etas, cn.puny)), 0.0)
     Sswabs_tmp = jnp.where(Sswabs < cn.puny, 0.0, Sswabs_tmp)
+    ssw = [Sswabs[k] for k in range(nslyr)]
     for k in range(nslyr):
         dswabs = jnp.where(l_snow,
-                           jnp.minimum(Sswabs[k] - Sswabs_tmp[k], fswint), 0.0)
+                           jnp.minimum(ssw[k] - Sswabs_tmp[k], fswint), 0.0)
         fswsfc = fswsfc + dswabs
         fswint = fswint - dswabs
-        Sswabs = Sswabs.at[k].set(Sswabs[k] - dswabs)
+        ssw[k] = ssw[k] - dswabs
+    Sswabs = jnp.stack(ssw)
 
     fswabsn = fswsfc + fswint + fswthrun
 
@@ -339,7 +392,9 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
         return (~carry["all_conv"]) & (carry["niter"] < nitermax)
 
     def body(carry):
-        active = ~carry["converged"] & has_ice
+        # converged rides the carry as a 0/1 mask in the compute dtype
+        # (carried i1/i8 bools hit an unsupported Mosaic truncation)
+        active = (carry["converged"] == 0.0) & has_ice
         Tsf_c, Tsn_c, Tin_c = carry["Tsf"], carry["Tsn"], carry["Tin"]
         kh_c = carry["kh"]
 
@@ -463,18 +518,22 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
         bad_e = ferr > 0.9 * ferrmax_eff
         newly_unconv = newly_unconv | bad_e
 
-        # conductivity reduction for overshooting layers (":2060-2072")
-        kh_new = kh_c
+        # conductivity reduction for overshooting layers (":2060-2072");
+        # list-rebuild (no static-scatter lowering in Pallas), keeping
+        # the chained row updates (row ki+nslyr+1 is read back by the
+        # next ki's new_above)
+        khr = [kh_c[r] for r in range(kh_c.shape[0])]
         denom = jnp.maximum(jnp.abs(fct_new - fcondbot), cn.puny)
         fracr = jnp.maximum(0.5 * (1.0 - ferr / denom), 0.1)
         for ki in range(nilyr):
             sel = bad_e & reduce_kh[ki] & (dqmat[ki] > 0.0)
-            new_below = jnp.where(sel, kh_new[ki + nslyr + 1] * fracr,
-                                  kh_new[ki + nslyr + 1])
+            new_below = jnp.where(sel, khr[ki + nslyr + 1] * fracr,
+                                  khr[ki + nslyr + 1])
             new_above = jnp.where(sel, new_below * fracr,
-                                  kh_new[ki + nslyr])
-            kh_new = kh_new.at[ki + nslyr + 1].set(new_below)
-            kh_new = kh_new.at[ki + nslyr].set(new_above)
+                                  khr[ki + nslyr])
+            khr[ki + nslyr + 1] = new_below
+            khr[ki + nslyr] = new_above
+        kh_new = jnp.stack(khr)
 
         conv_now = ~newly_unconv
 
@@ -501,7 +560,9 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
         out["qin"] = mrg(qin_new, carry["qin"])
         out["kh"] = jnp.where(active[None], kh_new, carry["kh"])
         out["dTsf_prev"] = jnp.where(active, dTsf, carry["dTsf_prev"])
-        out["converged"] = jnp.where(active, conv_now, carry["converged"])
+        out["converged"] = jnp.where(active,
+                                     conv_now.astype(carry["converged"].dtype),
+                                     carry["converged"])
         out["fsurfn"] = mrg(fsurfn_new, carry["fsurfn"])
         out["fcondtopn"] = mrg(fct_new, carry["fcondtopn"])
         out["fcondbot"] = mrg(fcondbot, carry["fcondbot"])
@@ -513,19 +574,19 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
                              carry["flwoutn"])
         out["dq_col"] = jnp.where(active, dq_col, carry["dq_col"])
         out["why"] = jnp.where(active, why, carry["why"])
-        out["all_conv"] = jnp.all(out["converged"] | ~has_ice)
+        out["all_conv"] = jnp.all((out["converged"] != 0.0) | ~has_ice)
         out["niter"] = carry["niter"] + 1
         return out
 
     carry0 = dict(
         Tsf=Tsf, Tsn=Tsn, Tin=Tin, qsn=qsn, qin=qin, kh=kh,
-        dTsf_prev=zero, converged=jnp.zeros_like(has_ice),
+        dTsf_prev=zero, converged=zero,
         fsurfn=zero, fcondtopn=zero, fcondbot=zero,
         fsensn=zero, flatn=zero, flwoutn=zero, dq_col=zero,
         why=jnp.zeros_like(has_ice, jnp.int32),
         all_conv=jnp.asarray(False), niter=jnp.asarray(0),
     )
-    res = jax.lax.while_loop(cond, body, carry0)
+    res = jax.lax.while_loop(cond, body, carry0) if loop else carry0
 
     return dict(
         Tsf=res["Tsf"], Tsn=res["Tsn"], Tin=res["Tin"],
@@ -535,8 +596,148 @@ def temperature_changes(p: ThermoParams, dt, has_ice,
         flatn=res["flatn"], flwoutn=res["flwoutn"], fswabsn=fswabsn,
         fswsfc=fswsfc, fswint=fswint, Sswabs=Sswabs, Iswabs=Iswabs,
         dq_flux=res["dq_col"] / dt,
-        converged=res["converged"], niter=res["niter"], why=res["why"],
+        converged=res["converged"] != 0.0, niter=res["niter"],
+        why=res["why"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-blocked Pallas temperature solve (TPU)
+# ---------------------------------------------------------------------------
+#
+# The while_loop above iterates the WHOLE grid until every cell
+# converges: each iteration streams a ~27-plane carry through HBM, and
+# a single slow-converging cell anywhere makes every cell pay the
+# extra iterations — while ice covers ~15-25% of the ocean.  The
+# reference pays per-cell iteration counts through its compressed
+# `indxi/indxj` gather lists (``ice_therm_vertical.F90:1403-1461``);
+# the TPU-native analogue is the same row-block gating as the EVP
+# kernel (`evp_pallas._kernel_blocked`): grid over row blocks,
+# `pl.when` skips ice-free blocks outright (their per-cell results are
+# exactly the solve's no-op carry), and each active block runs its OWN
+# while_loop in VMEM until just ITS cells converge.  The solve is
+# pointwise (no neighbor stencil), so blocks need no halo and the
+# per-cell math — shared with the XLA path above — is bitwise
+# identical; only iteration counts differ per block, which the
+# converged-cell merge makes result-invariant.
+
+_TC_SINGLES = ("has_ice", "rhoa", "flw", "potT", "Qa", "shcoef",
+               "lhcoef", "fswsfc", "fswint", "fswthrun", "hilyr",
+               "hslyr", "Tsf", "Tbot", "einit")
+_TC_OUT_SINGLES = ("Tsf", "fsurfn", "fcondtopn", "fcondbot", "fsensn",
+                   "flatn", "flwoutn", "fswabsn", "fswsfc", "fswint",
+                   "dq_flux", "converged", "why")
+
+
+def _tc_kernel(p, dt, nslyr, nilyr, *refs):
+    from jax.experimental import pallas as pl
+
+    ns1 = len(_TC_SINGLES)
+    singles = {k: refs[i][...] for i, k in enumerate(_TC_SINGLES)}
+    Sswabs, Iswabs, qin, Tin, qsn, Tsn = (
+        r[...] for r in refs[ns1:ns1 + 6])
+    out_ref = refs[ns1 + 6]
+    dtype = singles["rhoa"].dtype
+    has_ice = singles["has_ice"] != 0.0
+    # block activity from the streamed-in mask (the DMA happens either
+    # way; the gate skips the compute — and an SMEM activity operand
+    # would not survive the vmap batching rule's blockspec rewrite)
+    active = jnp.any(has_ice)
+
+    def run(loop):
+        tc = _temperature_changes_core(
+            p, dt, has_ice, singles["rhoa"], singles["flw"],
+            singles["potT"], singles["Qa"], singles["shcoef"],
+            singles["lhcoef"], singles["fswsfc"], singles["fswint"],
+            singles["fswthrun"], Sswabs, Iswabs, singles["hilyr"],
+            singles["hslyr"], qin, Tin, qsn, Tsn, singles["Tsf"],
+            singles["Tbot"], singles["einit"], loop=loop)
+        planes = [tc[k] if k not in ("converged", "why")
+                  else tc[k].astype(dtype) for k in _TC_OUT_SINGLES]
+        niter_plane = jnp.full_like(planes[0],
+                                    jnp.asarray(tc["niter"], dtype))
+        out_ref[...] = jnp.concatenate(
+            [jnp.stack(planes), tc["Tsn"], tc["Tin"], tc["qsn"],
+             tc["qin"], tc["Sswabs"], tc["Iswabs"],
+             niter_plane[None]], axis=0)
+
+    @pl.when(active)
+    def _():
+        run(True)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        run(False)
+
+
+def _temperature_changes_pallas(p, dt, has_ice, rhoa, flw, potT, Qa,
+                                shcoef, lhcoef, fswsfc, fswint,
+                                fswthrun, Sswabs, Iswabs, hilyr, hslyr,
+                                qin, Tin, qsn, Tsn, Tsf, Tbot, einit,
+                                interpret=False):
+    import os
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nilyr, nslyr = p.nilyr, p.nslyr
+    ny, nx = Tsf.shape
+    dtype = Tsf.dtype
+    bh = int(os.environ.get("CICE4_THERMO_BH", "32"))
+    nb = -(-ny // bh)
+    nyp = nb * bh
+
+    def padr(a):
+        if nyp == ny:
+            return a
+        pad = [(0, 0)] * (a.ndim - 2) + [(0, nyp - ny), (0, 0)]
+        return jnp.pad(a, pad)
+
+    hice_f = has_ice.astype(dtype)
+    singles = dict(has_ice=hice_f, rhoa=rhoa, flw=flw, potT=potT, Qa=Qa,
+                   shcoef=shcoef, lhcoef=lhcoef, fswsfc=fswsfc,
+                   fswint=fswint, fswthrun=fswthrun, hilyr=hilyr,
+                   hslyr=hslyr, Tsf=Tsf, Tbot=Tbot, einit=einit)
+    # separate refs per input (the pipeline streams each directly;
+    # a single stacked operand cost an XLA-side 30-plane concat copy)
+    plane_in = [padr(singles[k]) for k in _TC_SINGLES]
+    layer_in = [padr(a) for a in (Sswabs, Iswabs, qin, Tin, qsn, Tsn)]
+    nout = len(_TC_OUT_SINGLES) + 2 * nslyr + 2 * nilyr \
+        + nslyr + nilyr + 1
+
+    def pspec(nl=None):
+        if nl is None:
+            return pl.BlockSpec((bh, nx), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((nl, bh, nx), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        partial(_tc_kernel, p, dt, nslyr, nilyr),
+        grid=(nb,),
+        in_specs=[pspec() for _ in plane_in]
+        + [pspec(a.shape[0]) for a in layer_in],
+        out_specs=pspec(nout),
+        out_shape=jax.ShapeDtypeStruct((nout, nyp, nx), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret or jax.default_backend() != "tpu",
+    )(*plane_in, *layer_in)
+
+    niter_plane = out[-1, :ny]
+    out = out[:-1, :ny]
+    res = {k: out[i] for i, k in enumerate(_TC_OUT_SINGLES)}
+    o = len(_TC_OUT_SINGLES)
+    res["Tsn"] = out[o:o + nslyr]; o += nslyr     # noqa: E702
+    res["Tin"] = out[o:o + nilyr]; o += nilyr     # noqa: E702
+    res["qsn"] = out[o:o + nslyr]; o += nslyr     # noqa: E702
+    res["qin"] = out[o:o + nilyr]; o += nilyr     # noqa: E702
+    res["Sswabs"] = out[o:o + nslyr]; o += nslyr  # noqa: E702
+    res["Iswabs"] = out[o:o + nilyr]; o += nilyr  # noqa: E702
+    res["converged"] = res["converged"] != 0.0
+    res["why"] = res["why"].astype(jnp.int32)
+    res["niter"] = jnp.max(niter_plane).astype(jnp.int32)
+    return res
 
 
 def temperature_changes_know_tsfc(p: ThermoParams, dt, has_ice,
@@ -555,7 +756,7 @@ def temperature_changes_know_tsfc(p: ThermoParams, dt, has_ice,
     (condition 2b, ``:1961-1975``) + energy conservation (condition 5).
     """
     nilyr, nslyr = p.nilyr, p.nslyr
-    tmlt = jnp.asarray(p.tmlt)[:nilyr, None, None]
+    tmlt = _profile_const(p.tmlt, nilyr, like=hilyr)
 
     l_snow = has_ice & (hslyr > hs_min / nslyr)
     dt_rhoi_hlyr = dt / (cn.rhoi * jnp.maximum(hilyr, cn.puny))
@@ -1082,7 +1283,7 @@ def thermo_vertical_category(p: ThermoParams, dt, aicen, vicen, vsnon,
     # cleanup_itd anyway.
     has_ice = aicen > cn.a_negligible(aicen.dtype)
     a_safe = jnp.maximum(aicen, cn.puny)
-    tmlt = jnp.asarray(p.tmlt)[:nilyr, None, None]
+    tmlt = _profile_const(p.tmlt, nilyr, like=aicen)
 
     # --- init_vertical_profile (":844-1211") ------------------------------
     Tsf = tsfcn

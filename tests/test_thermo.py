@@ -216,3 +216,54 @@ def test_full_step_calc_tsfc_false():
     assert np.isfinite(np.asarray(s.vicen)).all()
     assert np.isfinite(a).all() and a.max() <= 1.0 + 1e-9
     assert np.isfinite(np.asarray(s.tsfcn)).all()
+
+
+def test_pallas_thermo_matches_jnp(tp):
+    """The row-blocked Pallas temperature solve (interpret mode) is
+    numerically identical to the whole-grid while_loop path, including
+    ice-free blocks (skipped) and blocks with mixed convergence
+    speed."""
+    p, itd = tp
+    ny, nx = 64, 128
+    rng = np.random.RandomState(3)
+    f64 = jnp.float64
+
+    def f(lo, hi, shape=(ny, nx)):
+        return jnp.asarray(rng.uniform(lo, hi, shape), f64)
+
+    # ice only in two row bands; the middle blocks must be skipped
+    row = np.arange(ny)[:, None] * np.ones((1, nx))
+    has_ice = jnp.asarray(((row < 12) | (row >= 52))
+                          & (rng.rand(ny, nx) > 0.2))
+    hilyr = jnp.where(has_ice, f(0.1, 0.8), 0.0)
+    hslyr = jnp.where(has_ice, f(0.0, 0.3), 0.0)
+    Tsf = jnp.where(has_ice, f(-30.0, -0.5), 0.0)
+    Tf = -cn.depressT * 34.0
+    k = jnp.arange(1, p.nilyr + 1, dtype=f64)[:, None, None]
+    Ti = Tsf[None] + (Tf - Tsf[None]) * (k - 0.5) / p.nilyr
+    tmlt = jnp.asarray(p.tmlt)[:p.nilyr, None, None]
+    qin = tv.qin_of_tin(p, Ti, tmlt)
+    Tsn = jnp.broadcast_to(jnp.minimum(Tsf, 0.0), (p.nslyr, ny, nx))
+    qsn = tv.qsn_of_tsn(Tsn)
+    fswsfc, fswint = f(0.0, 60.0), f(0.0, 30.0)
+    args = (p, 3600.0, has_ice, f(1.1, 1.4), f(150.0, 300.0),
+            f(240.0, 275.0), f(1e-4, 4e-3), f(5.0, 25.0), f(2.0, 15.0),
+            fswsfc, fswint, f(0.0, 10.0),
+            jnp.zeros((p.nslyr, ny, nx), f64) + 1.0,
+            jnp.broadcast_to(f(0.0, 5.0)[None], (p.nilyr, ny, nx)),
+            hilyr, hslyr, qin, Ti, qsn, Tsn, Tsf,
+            jnp.full((ny, nx), Tf, f64),
+            jnp.sum(qsn * hslyr[None], 0) + jnp.sum(qin * hilyr[None], 0))
+
+    ref = tv._temperature_changes_core(*args)
+    out = tv._temperature_changes_pallas(*args[:1] + args[1:],
+                                         interpret=True)
+    for key in ("Tsf", "Tsn", "Tin", "qsn", "qin", "fsurfn",
+                "fcondtopn", "fcondbot", "fsensn", "flatn", "flwoutn",
+                "fswabsn", "fswsfc", "fswint", "Sswabs", "Iswabs",
+                "dq_flux"):
+        np.testing.assert_allclose(np.asarray(out[key]),
+                                   np.asarray(ref[key]),
+                                   rtol=1e-12, atol=1e-12, err_msg=key)
+    np.testing.assert_array_equal(np.asarray(out["converged"]),
+                                  np.asarray(ref["converged"]))
